@@ -1,0 +1,135 @@
+"""CogVideoX DDIM scheduler — pure-JAX, fully precomputed.
+
+Reproduces the diffusers ``CogVideoXDDIMScheduler`` semantics used by the
+reference pipeline (``pipeline_cogvideox_image2video_lowpass.py:31,1111-1112``):
+scaled-linear betas, SNR-shifted alphas_cumprod, zero-terminal-SNR rescale,
+v-prediction, and the a_t/b_t deterministic update
+
+    prev = a_t * sample + b_t * pred_x0,
+    a_t  = sqrt((1 - ā_prev) / (1 - ā_t)),
+    b_t  = sqrt(ā_prev) - sqrt(ā_t) * a_t.
+
+TPU-native design: the timestep grid is static per run, so every per-step
+scalar (a_t, b_t, x0-conversion coefficients) is precomputed host-side into
+``[T]`` tables; the in-loop step is two gathers + fused multiply-adds, fully
+traceable through ``lax.scan`` with a dynamic step index and zero host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXDDIMConfig:
+    """Defaults = THUDM/CogVideoX-5b-I2V shipped scheduler config."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    snr_shift_scale: float = 3.0
+    rescale_betas_zero_snr: bool = True
+    set_alpha_to_one: bool = True
+    timestep_spacing: str = "trailing"
+    steps_offset: int = 0
+    prediction_type: str = "v_prediction"
+
+
+def make_alphas_cumprod(cfg: CogVideoXDDIMConfig) -> np.ndarray:
+    """Training alphas_cumprod after SNR shift + zero-terminal-SNR rescale."""
+    t = cfg.num_train_timesteps
+    if cfg.beta_schedule == "scaled_linear":
+        betas = np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5, t, dtype=np.float64) ** 2
+    elif cfg.beta_schedule == "linear":
+        betas = np.linspace(cfg.beta_start, cfg.beta_end, t, dtype=np.float64)
+    else:
+        raise ValueError(f"Unsupported beta_schedule {cfg.beta_schedule!r}")
+    alphas_cumprod = np.cumprod(1.0 - betas)
+
+    # SNR shift: a <- a / (s + (1 - s) a); identity at s=1
+    s = cfg.snr_shift_scale
+    alphas_cumprod = alphas_cumprod / (s + (1.0 - s) * alphas_cumprod)
+
+    if cfg.rescale_betas_zero_snr:
+        # rescale sqrt(ā) affinely so the terminal value is exactly 0
+        ab_sqrt = np.sqrt(alphas_cumprod)
+        ab0, abT = ab_sqrt[0], ab_sqrt[-1]
+        ab_sqrt = (ab_sqrt - abT) * (ab0 / (ab0 - abT))
+        alphas_cumprod = ab_sqrt**2
+    return alphas_cumprod
+
+
+def make_timesteps(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> np.ndarray:
+    """Inference timestep grid for the configured spacing (descending)."""
+    t = cfg.num_train_timesteps
+    n = num_inference_steps
+    if cfg.timestep_spacing == "linspace":
+        ts = np.linspace(0, t - 1, n).round()[::-1].astype(np.int64)
+    elif cfg.timestep_spacing == "leading":
+        step_ratio = t // n
+        ts = (np.arange(0, n) * step_ratio).round()[::-1].astype(np.int64) + cfg.steps_offset
+    elif cfg.timestep_spacing == "trailing":
+        step_ratio = t / n
+        ts = np.round(np.arange(t, 0, -step_ratio)).astype(np.int64) - 1
+    else:
+        raise ValueError(f"Unsupported timestep_spacing {cfg.timestep_spacing!r}")
+    return ts.copy()
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXDDIMPlan:
+    """Per-step coefficient tables for one sampling run (all ``[T]`` fp32)."""
+
+    timesteps: np.ndarray  # [T] int64 (for conditioning embeddings)
+    a_t: np.ndarray  # [T]
+    b_t: np.ndarray  # [T]
+    sqrt_alpha: np.ndarray  # [T] sqrt(ā_t) for x0 conversion
+    sqrt_beta: np.ndarray  # [T] sqrt(1 - ā_t)
+    prediction_type: str
+    init_noise_sigma: float = 1.0
+
+
+def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> CogVideoXDDIMPlan:
+    ac = make_alphas_cumprod(cfg)
+    ts = make_timesteps(cfg, num_inference_steps)
+    final_alpha = 1.0 if cfg.set_alpha_to_one else float(ac[0])
+
+    prev_ts = ts - cfg.num_train_timesteps // num_inference_steps
+    alpha_t = ac[ts]
+    alpha_prev = np.where(prev_ts >= 0, ac[np.clip(prev_ts, 0, None)], final_alpha)
+
+    a_t = np.sqrt((1.0 - alpha_prev) / (1.0 - alpha_t))
+    b_t = np.sqrt(alpha_prev) - np.sqrt(alpha_t) * a_t
+
+    # coefficient tables live as jnp arrays so a traced step index can gather them
+    return CogVideoXDDIMPlan(
+        timesteps=jnp.asarray(ts),
+        a_t=jnp.asarray(a_t.astype(np.float32)),
+        b_t=jnp.asarray(b_t.astype(np.float32)),
+        sqrt_alpha=jnp.asarray(np.sqrt(alpha_t).astype(np.float32)),
+        sqrt_beta=jnp.asarray(np.sqrt(1.0 - alpha_t).astype(np.float32)),
+        prediction_type=cfg.prediction_type,
+    )
+
+
+def predict_x0(plan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
+    """Model-output → x0 conversion for the configured prediction type."""
+    sa = plan.sqrt_alpha[i]
+    sb = plan.sqrt_beta[i]
+    if plan.prediction_type == "v_prediction":
+        return sa * sample - sb * model_output
+    if plan.prediction_type == "epsilon":
+        return (sample - sb * model_output) / sa
+    if plan.prediction_type == "sample":
+        return model_output
+    raise ValueError(f"Unsupported prediction_type {plan.prediction_type!r}")
+
+
+def ddim_step(plan: CogVideoXDDIMPlan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
+    """One deterministic DDIM step; ``i`` may be a traced index."""
+    x0 = predict_x0(plan, i, model_output, sample)
+    return plan.a_t[i] * sample + plan.b_t[i] * x0
