@@ -116,25 +116,29 @@ class LPSegment:
 class LPPlan:
     """Trace-time-static per-step ALG plan for one sampling run.
 
-    ``m_h``/``m_w``: stacked separable filter operators, ``[T, H, H]`` /
-    ``[T, W, W]`` fp32 (identity on strength-0 steps). ``strengths``: raw
-    schedule values. ``three_pass``: per-step bool (strength != 0, minus the
-    exponential <0.1 shortcut, reference ``...cogvideox...py:1029-1032``).
-    ``active``: whether ALG is on at all (off → the sampler skips filter work
-    entirely). ``segments``: contiguous same-pass-count runs.
+    Filter operators are stored deduplicated: ``m_h [U, H, H]`` /
+    ``m_w [U, W, W]`` hold the U *unique* separable operators of the run
+    (interval schedules have U=2: active filter + identity) and ``m_idx [T]``
+    maps each step to its operator — the in-loop gather cost is independent of
+    the schedule, and pixel-space plans don't materialize 50 near-identical
+    720×720 matrices. ``strengths``: raw schedule values. ``three_pass``:
+    per-step bool (strength != 0, minus the exponential <0.1 shortcut,
+    reference ``...cogvideox...py:1029-1032``). ``active``: ALG on at all.
+    ``segments``: contiguous same-pass-count runs.
     """
 
     active: bool
     num_steps: int
     strengths: np.ndarray  # [T] float32
     three_pass: np.ndarray  # [T] bool
-    m_h: Optional[np.ndarray]  # [T, H, H] float32, None when inactive
-    m_w: Optional[np.ndarray]  # [T, W, W] float32, None when inactive
+    m_h: Optional[np.ndarray]  # [U, H, H] float32, None when inactive
+    m_w: Optional[np.ndarray]  # [U, W, W] float32, None when inactive
+    m_idx: Optional[np.ndarray]  # [T] int32, None when inactive
     segments: tuple
 
-    def segment_arrays(self, start: int, stop: int):
-        """Slice (m_h, m_w, strengths) for one segment."""
-        return self.m_h[start:stop], self.m_w[start:stop], self.strengths[start:stop]
+    def step_matrices(self, i: int):
+        """(m_h, m_w) for host-side step ``i`` (tests / eager paths)."""
+        return self.m_h[self.m_idx[i]], self.m_w[self.m_idx[i]]
 
 
 def _segments_from_mask(three_pass: np.ndarray) -> tuple:
@@ -174,6 +178,7 @@ def build_lp_plan(
             three_pass=mask,
             m_h=None,
             m_w=None,
+            m_idx=None,
             segments=_segments_from_mask(mask),
         )
 
@@ -184,27 +189,34 @@ def build_lp_plan(
     if exp_shortcut and cfg.lp_strength_schedule_type == "exponential":
         three_pass &= strengths >= 0.1
 
-    m_h = np.zeros((num_steps, height, height), dtype=np.float32)
-    m_w = np.zeros((num_steps, width, width), dtype=np.float32)
+    # dedupe operators by effective filter parameters
+    unique: dict = {}
+    m_idx = np.zeros(num_steps, dtype=np.int32)
+    mh_list, mw_list = [], []
     for i in range(num_steps):
         sigma, ks, resize = modulate_filter_params(cfg, float(strengths[i]))
-        mh, mw = filter_matrices(
-            cfg.lp_filter_type,
-            height,
-            width,
-            blur_sigma=sigma,
-            blur_kernel_size=ks,
-            resize_factor=resize,
-        )
-        m_h[i] = mh
-        m_w[i] = mw
+        key = (round(sigma, 12), ks if isinstance(ks, int) else round(float(ks), 12), round(resize, 12))
+        if key not in unique:
+            mh, mw = filter_matrices(
+                cfg.lp_filter_type,
+                height,
+                width,
+                blur_sigma=sigma,
+                blur_kernel_size=ks,
+                resize_factor=resize,
+            )
+            unique[key] = len(mh_list)
+            mh_list.append(mh)
+            mw_list.append(mw)
+        m_idx[i] = unique[key]
 
     return LPPlan(
         active=True,
         num_steps=num_steps,
         strengths=strengths,
         three_pass=three_pass,
-        m_h=m_h,
-        m_w=m_w,
+        m_h=np.stack(mh_list),
+        m_w=np.stack(mw_list),
+        m_idx=m_idx,
         segments=_segments_from_mask(three_pass),
     )

@@ -1,0 +1,95 @@
+"""Device-queue utilities for the axon TPU tunnel.
+
+The axon backend dispatches fully asynchronously: ``block_until_ready`` is a
+no-op, execution errors surface at the next device→host fetch, and the whole
+pending queue's buffers (including already-"freed" temporaries) stay resident
+until drained. Consequences handled here:
+
+  * :func:`sync` — the only true synchronization point is a host fetch;
+  * :func:`streamed_stack` — stacking a 42-layer parameter list doubles
+    resident memory unless the originals are freed leaf-by-leaf with drains;
+  * :func:`init_streamed` — run per-block init functions with a drain after
+    each so RNG fp32 temporaries free before the next block allocates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def sync(x=None) -> None:
+    """Force the device queue to drain (tiny device→host fetch)."""
+    if x is None:
+        np.asarray(jnp.zeros((1,)) + 0)
+        return
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def init_streamed(init_fns: Sequence[Callable[[], dict]]) -> List[dict]:
+    """Run block-init thunks one at a time, draining the queue after each."""
+    out = []
+    for fn in init_fns:
+        b = fn()
+        sync(b)
+        out.append(b)
+    return out
+
+
+def host_init_params(init_fn, seed: int = 0, scale: float = 0.02):
+    """Random-init a parameter tree HOST-side and stream it to the device.
+
+    ``jax.eval_shape(init_fn)`` provides the leaf shapes/dtypes; leaves are
+    generated with numpy and ``device_put`` one at a time, so the device never
+    holds RNG temporaries or stacking copies — resident peak == final weight
+    size. For large random-weight models (benchmarks) the on-device init path
+    exceeds the axon memory ceiling; real checkpoints take the same host→device
+    route through the safetensors loader.
+    """
+    import ml_dtypes
+
+    shapes = jax.eval_shape(init_fn)
+    rng = np.random.default_rng(seed)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    out = []
+    pending_bytes = 0
+    for leaf in leaves:
+        arr = rng.standard_normal(leaf.shape, dtype=np.float32) * scale
+        if leaf.dtype == jnp.bfloat16:
+            arr = arr.astype(ml_dtypes.bfloat16)
+        else:
+            arr = arr.astype(leaf.dtype)
+        dev = jax.device_put(arr)
+        del arr
+        out.append(dev)
+        pending_bytes += dev.size * dev.dtype.itemsize
+        if pending_bytes > (1 << 30):  # drain every ~1 GiB of queued transfers
+            sync(dev)
+            pending_bytes = 0
+    sync(out[-1])
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def streamed_stack(blocks: List[dict]):
+    """``jax.tree.map(stack, *blocks)`` with bounded memory: stack one leaf
+    across all blocks, drain, then free the originals before the next leaf.
+
+    CONSUMES ``blocks`` (the list is emptied) so the per-layer arrays can
+    actually be released while stacking."""
+    treedef = jax.tree_util.tree_structure(blocks[0])
+    flat = [jax.tree_util.tree_leaves(b) for b in blocks]
+    n_blocks = len(flat)
+    blocks.clear()  # drop the dict references; `flat` holds the only handles
+    n_leaves = len(flat[0])
+    stacked = []
+    for li in range(n_leaves):
+        s = jnp.stack([flat[b][li] for b in range(n_blocks)])
+        sync(s)
+        for b in range(n_blocks):
+            flat[b][li] = None  # free the original
+        stacked.append(s)
+    return jax.tree_util.tree_unflatten(treedef, stacked)

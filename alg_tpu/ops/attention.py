@@ -1,0 +1,103 @@
+"""Attention dispatch: Pallas flash attention on TPU, XLA reference elsewhere.
+
+This is the framework's replacement for the reference's xformers/SDPA fused
+attention (``requirements.txt:11``, SURVEY §2.7). One entry point serves every
+attention in the stack:
+
+  * video DiT self/joint attention — dense, no mask (CogVideoX, Wan)
+  * joint attention with padded-text masking — ``kv_len`` (HunyuanVideo)
+  * causal attention — ``causal=True`` (Llama/Llava, CLIP text)
+  * relative-position-bias attention — ``bias`` (T5/UMT5)
+
+Inputs are ``[B, H, S, D]``. The Pallas kernel is an online-softmax flash
+attention with fp32 accumulators; the XLA path is the literal softmax
+reference used for parity tests and CPU execution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.ops.flash_attention import flash_attention, supports_flash
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    causal: bool = False,
+    kv_len: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32, precision=precision
+        )
+        * scale
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        sq, sk = q.shape[-2], k.shape[-2]
+        row = jnp.arange(sq)[:, None] + (sk - sq)
+        col = jnp.arange(sk)[None, :]
+        logits = jnp.where(col <= row, logits, -jnp.inf)
+    if kv_len is not None:
+        col = jnp.arange(k.shape[-2])
+        mask = col[None, :] < kv_len[:, None]  # [B, Sk]
+        logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v, precision=precision)
+
+
+_IMPL_OVERRIDE: Optional[str] = None
+
+
+def get_attention_impl() -> Optional[str]:
+    return _IMPL_OVERRIDE
+
+
+def set_attention_impl(impl: Optional[str]) -> None:
+    """Force the attention backend globally: "pallas" | "xla" | None (auto).
+
+    Needed when lowering for devices other than the default backend (e.g. a
+    virtual CPU mesh for sharding dry-runs while a TPU is attached) — trace
+    time cannot see the execution platform, so "auto" keys off the default
+    backend only.
+    """
+    global _IMPL_OVERRIDE
+    _IMPL_OVERRIDE = impl
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_len: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over ``[B, H, S, D]`` tensors.
+
+    ``kv_len``: optional ``[B]`` int32 — keys at positions >= kv_len[b] are
+    masked out. ``bias``: optional additive logit bias broadcastable to
+    ``[B, H, Sq, Sk]``. ``impl``: "auto" | "pallas" | "xla".
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        if _IMPL_OVERRIDE is not None:
+            impl = _IMPL_OVERRIDE
+        else:
+            impl = "pallas" if supports_flash(q, k, v, bias) else "xla"
+    if impl == "pallas":
+        return flash_attention(q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias)
+    return _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len, bias=bias)

@@ -1,0 +1,245 @@
+"""Pallas TPU flash attention (forward, inference).
+
+Online-softmax tiling: grid ``(B·H, Sq/bq, Sk/bk)`` with the KV dimension
+innermost ("arbitrary" semantics) so the running max/denominator/accumulator
+live in VMEM scratch across KV iterations; the output block is written once on
+the final KV step. fp32 logits and accumulation, bf16 MXU matmuls.
+
+Replaces the reference stack's xformers fused attention (SURVEY §2.7) for the
+video DiTs and all text encoders. Supports:
+  * ``causal`` masking (Llama/Llava, CLIP text),
+  * per-batch ``kv_len`` key masking (HunyuanVideo padded joint attention),
+  * an additive ``bias`` broadcast over batch (T5 relative position bias),
+with skip-fast-paths for fully-masked causal blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def supports_flash(q, k, v, bias) -> bool:
+    """Use the Pallas kernel on real TPU backends only (CPU tests use XLA)."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    # kernel constraints: seq lengths handled via padding inside flash_attention
+    return True
+
+
+def _fwd_kernel(
+    kv_len_ref,  # [B] int32 scalar-prefetch (or [1] dummy)
+    q_ref,  # [1, bq, d]
+    k_ref,  # [1, bk, d]
+    v_ref,  # [1, bk, d]
+    bias_ref,  # [1, bq, bk] or None
+    o_ref,  # [1, bq, d]
+    m_scr,  # [bq, 128] f32
+    l_scr,  # [bq, 128] f32
+    acc_scr,  # [bq, d] f32
+    *,
+    scale: float,
+    causal: bool,
+    use_kv_len: bool,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    sq: int,
+    sk: int,
+    sk_orig: int,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    # skip blocks entirely above the causal diagonal
+    run = True
+    if causal:
+        run = k_start <= q_start + (sk - sq) + block_q - 1
+
+    # fp32 inputs get full-precision MXU passes (fixed-seed parity runs);
+    # bf16 inputs take the fast path
+    precision = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale  # [bq, bk]
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            s = jnp.where(col <= row + (sk - sq), s, _NEG_INF)
+        if use_kv_len:
+            b = bh // num_heads
+            s = jnp.where(col < kv_len_ref[b], s, _NEG_INF)
+        elif sk_orig != sk:
+            s = jnp.where(col < sk_orig, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [bq, 1]
+        l_prev = l_scr[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # [bq, bk] f32
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "causal", "block_q", "block_k")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    causal: bool = False,
+    kv_len: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Flash attention over ``[B, H, S, D]``. Sequence dims are zero-padded to
+    block multiples; padded keys are masked, padded queries sliced off."""
+    b, h, sq_orig, d = q.shape
+    sk_orig = k.shape[2]
+    block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (sk_orig - 1).bit_length()))
+    sq = -(-sq_orig // block_q) * block_q
+    sk = -(-sk_orig // block_k) * block_k
+
+    qp = _pad_to(q, sq, 2).reshape(b * h, sq, d)
+    kp = _pad_to(k, sk, 2).reshape(b * h, sk, d)
+    vp = _pad_to(v, sk, 2).reshape(b * h, sk, d)
+
+    use_kv_len = kv_len is not None
+    kv_len_arr = kv_len.astype(jnp.int32) if use_kv_len else jnp.zeros((1,), jnp.int32)
+
+    has_bias = bias is not None
+    # index maps receive (*grid_indices, *scalar_prefetch_refs)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, _kv: (bh, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, _kv: (bh, ki, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, _kv: (bh, ki, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [qp, kp, vp]
+    if has_bias:
+        bias_b = jnp.broadcast_to(bias, (1,) + bias.shape[-3:]) if bias.ndim == 4 else bias[None]
+        bias_full = _pad_to(_pad_to(bias_b.astype(jnp.float32), sq, -2), sk, -1)
+        bh_bias = bias_full.shape[1]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, block_k),
+                lambda bh, qi, ki, _kv: (0, bh % bh_bias, qi, ki),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bias_full)
+    else:
+        in_specs.append(None)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        causal=causal,
+        use_kv_len=use_kv_len,
+        num_heads=h,
+        block_q=block_q,
+        block_k=block_k,
+        sq=sq,
+        sk=sk,
+        sk_orig=sk_orig,
+    )
+
+    # drop the None bias spec when absent; kernel signature adapts
+    if not has_bias:
+        in_specs = in_specs[:3]
+
+        def kernel_nobias(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            return kernel(kv_len_ref, q_ref, k_ref, v_ref, None, o_ref, m_scr, l_scr, acc_scr)
+
+        body = kernel_nobias
+    else:
+        def kernel_bias(kv_len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr):
+            # bias block arrives as [1, 1, bq, bk]; squeeze the leading dim
+            return kernel(kv_len_ref, q_ref, k_ref, v_ref, bias_ref[0], o_ref, m_scr, l_scr, acc_scr)
+
+        body = kernel_bias
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, sq // block_q, sk // block_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, _kv: (bh, qi, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * sk * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(kv_len_arr, *operands)
+
+    return out.reshape(b, h, sq, d)[:, :, :sq_orig]

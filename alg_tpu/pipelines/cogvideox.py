@@ -1,0 +1,459 @@
+"""CogVideoX-I2V + ALG pipeline — jit-compiled TPU sampler.
+
+Reproduces the reference ``CogVideoXImageToVideoPipeline`` semantics
+(``pipeline_cogvideox_image2video_lowpass.py:727-1158``) with a TPU-native
+execution plan:
+
+  * Prompt encoding (T5), VAE image encode, and VAE decode are separate jit
+    functions; the *entire* denoising loop is one jit'd function per pass-count
+    segment — no host round-trips between steps (replaces the reference's
+    per-step Python loop + ``xm.mark_step``, ``:1005-1140``).
+  * The per-step adaptive low-pass filter runs as two batched matmuls using
+    the trace-time operator stacks from :mod:`alg_tpu.alg.matrices`
+    (replaces ``prepare_lp`` → shape-changing resizes, ``:586-703``). The
+    2-pass/3-pass CFG switch (``:1029-1070``) is resolved into contiguous step
+    segments, each a fixed-shape ``lax.scan``.
+  * All stochastic draws (VAE posterior sample, initial noise, DPM per-step
+    noise) are generated host-side from one torch-order :class:`NoiseSource`
+    (``run.py:94`` parity) and fed in as arrays.
+
+Faithful-quirk policy (SURVEY §2.3): the 2-pass ALG branch conditions on the
+*modulated-filtered* latent (identity when strength is exactly 0, non-identity
+under the exponential <0.1 shortcut) — reproduced. The reference's unbound-
+variable crash for ``use_low_pass_guidance=True, guidance_scale<=1`` (quirk
+2.3a, unreachable with shipped configs) is replaced by the sane single-pass
+path. ``num_videos_per_prompt`` is forced to 1 (``:903``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.alg.matrices import apply_filter_matrices
+from alg_tpu.alg.schedule import LPConfig, LPPlan, build_lp_plan
+from alg_tpu.core.rng import NoiseSource
+from alg_tpu.models.cogvideox import (
+    CogVideoXTransformerConfig,
+    CogVideoXVAEConfig,
+    cogvideox_rope,
+    cogvideox_transformer,
+    cogvideox_vae_decode,
+    cogvideox_vae_encode,
+)
+from alg_tpu.models.t5 import T5Config, t5_encode
+from alg_tpu.pipelines import processing
+from alg_tpu.schedulers import (
+    CogVideoXDDIMConfig,
+    ddim_step,
+    dpm_step,
+    make_ddim_plan,
+    make_dpm_plan,
+)
+
+
+@dataclasses.dataclass
+class CogVideoXPipeline:
+    """Bundled model params/configs + tokenizer hook.
+
+    ``tokenize``: callable ``prompts -> int32 [B, max_seq] ids`` (HF T5
+    tokenizer with padding="max_length", truncation; injected so the pipeline
+    has no network dependency). Any of the encoders may be ``None`` if the
+    corresponding inputs are supplied pre-computed.
+    """
+
+    transformer_cfg: CogVideoXTransformerConfig
+    transformer_params: Any
+    vae_cfg: CogVideoXVAEConfig
+    vae_params: Any
+    t5_cfg: Optional[T5Config] = None
+    t5_params: Any = None
+    tokenize: Optional[Callable] = None
+    scheduler: str = "ddim"  # "ddim" | "dpm"
+    scheduler_cfg: CogVideoXDDIMConfig = dataclasses.field(default_factory=CogVideoXDDIMConfig)
+    dtype: Any = jnp.float32
+
+    @property
+    def vae_scale_factor_spatial(self) -> int:
+        return self.vae_cfg.spatial_scale
+
+    @property
+    def vae_scale_factor_temporal(self) -> int:
+        return self.vae_cfg.temporal_compression_ratio
+
+    # -- encoders ----------------------------------------------------------
+
+    def encode_prompt_ids(self, input_ids: np.ndarray) -> jnp.ndarray:
+        """T5 encode WITHOUT attention mask (reference ``:228-268`` behavior)."""
+        fn = jax.jit(lambda params, ids: t5_encode(params, self.t5_cfg, ids))
+        return fn(self.t5_params, jnp.asarray(input_ids)).astype(self.dtype)
+
+    def encode_prompt(self, prompt: Union[str, Sequence[str]], max_sequence_length: int = 226):
+        if self.tokenize is None:
+            raise ValueError("No tokenizer injected; pass prompt_embeds instead")
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        ids = self.tokenize(prompts, max_sequence_length)
+        return self.encode_prompt_ids(ids)
+
+    def vae_encode_sample(self, image_bfchw: np.ndarray, noise: NoiseSource) -> jnp.ndarray:
+        """VAE-encode ``[B, F, C, H, W]`` pixels and draw the posterior sample
+        with torch-ordered noise. Returns latents in [B, F, C, h, w]."""
+        x = jnp.asarray(image_bfchw, jnp.float32).transpose(0, 1, 3, 4, 2)  # → BFHWC
+        fn = jax.jit(lambda params, x: cogvideox_vae_encode(params, self.vae_cfg, x))
+        mean, logvar = fn(self.vae_params, x)
+        # torch draws in [B, C, F, h, w] layout (diffusers DiagonalGaussian)
+        b, f, h, w, c = mean.shape
+        eps = noise.randn((b, c, f, h, w)).transpose(0, 2, 3, 4, 1)  # → BFHWC
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jnp.asarray(eps)
+        return z.transpose(0, 1, 4, 2, 3)  # → [B, F, C, h, w]
+
+    # -- main entry --------------------------------------------------------
+
+    def __call__(
+        self,
+        image=None,
+        prompt: Optional[Union[str, Sequence[str]]] = None,
+        negative_prompt: Optional[Union[str, Sequence[str]]] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_frames: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        use_dynamic_cfg: bool = False,
+        seed: int = 42,
+        noise_source: Optional[NoiseSource] = None,
+        latents: Optional[np.ndarray] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        max_sequence_length: int = 226,
+        output_type: str = "pil",
+        # --- ALG kwargs (reference surface, :753-773) ---
+        use_low_pass_guidance: bool = False,
+        lp_filter_type: str = "none",
+        lp_filter_in_latent: bool = True,
+        lp_blur_sigma: float = 3.0,
+        lp_blur_kernel_size=0.1,
+        lp_resize_factor: float = 0.25,
+        lp_strength_schedule_type: str = "none",
+        schedule_blur_kernel_size: bool = False,
+        schedule_interval_start_time: float = 0.0,
+        schedule_interval_end_time: float = 1.0,
+        schedule_linear_start_weight: float = 1.0,
+        schedule_linear_end_weight: float = 0.0,
+        schedule_linear_end_time: float = 1.0,
+        schedule_exp_decay_rate: float = 5.0,
+    ):
+        tcfg = self.transformer_cfg
+        height = height or tcfg.sample_height * self.vae_scale_factor_spatial
+        width = width or tcfg.sample_width * self.vae_scale_factor_spatial
+        num_frames = num_frames or 49
+
+        do_cfg = guidance_scale > 1.0
+        noise = noise_source or NoiseSource(seed=seed)
+
+        # ---- prompt embeds: [neg, pos] assembled per reference :948-955
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, max_sequence_length)
+        if do_cfg and negative_prompt_embeds is None:
+            neg = negative_prompt if negative_prompt is not None else ""
+            negative_prompt_embeds = self.encode_prompt(
+                [neg] * prompt_embeds.shape[0] if isinstance(neg, str) else neg, max_sequence_length
+            )
+
+        batch_size = prompt_embeds.shape[0]
+
+        # ---- frames / latent geometry (:962-968)
+        latent_frames = (num_frames - 1) // self.vae_scale_factor_temporal + 1
+        patch_size_t = tcfg.patch_size_t
+        additional_frames = 0
+        if patch_size_t is not None and latent_frames % patch_size_t != 0:
+            additional_frames = patch_size_t - latent_frames % patch_size_t
+            num_frames += additional_frames * self.vae_scale_factor_temporal
+            latent_frames += additional_frames
+
+        # ---- image preprocess + VAE encode (+ zero-pad cond) (:969-985)
+        if image is not None and not isinstance(image, np.ndarray):
+            image_tensor = processing.preprocess_image(image, height, width)
+        else:
+            image_tensor = np.asarray(image, np.float32)
+        if image_tensor.ndim == 4:
+            image_vae_in = image_tensor[:, None]  # [B, 1, C, H, W]
+        else:
+            image_vae_in = image_tensor
+        if image_vae_in.shape[0] < batch_size:
+            image_vae_in = np.repeat(image_vae_in, batch_size, axis=0)
+
+        image_latents = self.vae_encode_sample(image_vae_in, noise)  # [B, 1, C, h, w]
+        if not self.vae_cfg.invert_scale_latents:
+            image_latents = self.vae_cfg.scaling_factor * image_latents
+        else:
+            image_latents = image_latents / self.vae_cfg.scaling_factor
+        h_lat, w_lat = image_latents.shape[-2:]
+        c_lat = image_latents.shape[2]
+        pad = jnp.zeros((batch_size, latent_frames - image_latents.shape[1], c_lat, h_lat, w_lat), image_latents.dtype)
+        image_latents = jnp.concatenate([image_latents, pad], axis=1)
+        if patch_size_t is not None:
+            front = image_latents[:, : image_latents.shape[1] % patch_size_t]
+            image_latents = jnp.concatenate([front, image_latents], axis=1)
+
+        # ---- initial noise (drawn after the VAE posterior draw, :419)
+        if latents is None:
+            latents0 = noise.randn((batch_size, latent_frames, c_lat, h_lat, w_lat))
+        else:
+            latents0 = np.asarray(latents, np.float32)
+        latents0 = jnp.asarray(latents0, jnp.float32)  # init_noise_sigma == 1.0
+
+        # ---- plans (all host-side, trace-time static)
+        if self.scheduler == "dpm":
+            sched_plan = make_dpm_plan(self.scheduler_cfg, num_inference_steps)
+        else:
+            sched_plan = make_ddim_plan(self.scheduler_cfg, num_inference_steps)
+
+        lp_cfg = LPConfig(
+            use_low_pass_guidance=use_low_pass_guidance and do_cfg,
+            lp_filter_type=lp_filter_type,
+            lp_filter_in_latent=lp_filter_in_latent,
+            lp_blur_sigma=lp_blur_sigma,
+            lp_blur_kernel_size=lp_blur_kernel_size,
+            lp_resize_factor=lp_resize_factor,
+            lp_strength_schedule_type=lp_strength_schedule_type,
+            schedule_blur_kernel_size=schedule_blur_kernel_size,
+            schedule_interval_start_time=schedule_interval_start_time,
+            schedule_interval_end_time=schedule_interval_end_time,
+            schedule_linear_start_weight=schedule_linear_start_weight,
+            schedule_linear_end_weight=schedule_linear_end_weight,
+            schedule_linear_end_time=schedule_linear_end_time,
+            schedule_exp_decay_rate=schedule_exp_decay_rate,
+        )
+        filter_h, filter_w = (h_lat, w_lat) if lp_filter_in_latent else (height, width)
+        lp_plan = build_lp_plan(lp_cfg, num_inference_steps, filter_h, filter_w, exp_shortcut=True)
+
+        # pixel-space mode re-encodes the filtered RGB through the VAE every
+        # step (reference prepare_lp pixel branch, :628-680), each with its own
+        # torch-ordered posterior draw — pregenerate the noise stack
+        pixel_mode = lp_plan.active and not lp_filter_in_latent
+        pixel_image = None
+        pixel_vae_noise = None
+        if pixel_mode:
+            pixel_image = jnp.asarray(image_vae_in, jnp.float32)  # [B, 1, C, H, W]
+            lat_shape_torch = (batch_size, c_lat, 1, h_lat, w_lat)
+            pixel_vae_noise = jnp.asarray(
+                np.stack(
+                    [
+                        noise.randn(lat_shape_torch).transpose(0, 2, 3, 4, 1)  # → BFHWC
+                        for _ in range(num_inference_steps)
+                    ]
+                )
+            )
+
+        # per-step dynamic-CFG scale table (:1105-1108), host-precomputed
+        ts = np.asarray(sched_plan.timesteps)
+        if do_cfg and use_dynamic_cfg:
+            g = 1 + guidance_scale * (
+                (1 - np.cos(np.pi * ((num_inference_steps - ts) / num_inference_steps) ** 5.0)) / 2
+            )
+        else:
+            g = np.full(num_inference_steps, guidance_scale)
+        g_table = g.astype(np.float32)  # host table, embedded at trace time
+
+        rope_cos, rope_sin = (
+            cogvideox_rope(tcfg, height, width, latents0.shape[1])
+            if tcfg.use_rotary_positional_embeddings
+            else (None, None)
+        )
+        ofs = (
+            jnp.full((1,), 2.0, jnp.float32) if tcfg.ofs_embed_dim is not None else None
+        )
+
+        dpm_noise = None
+        if self.scheduler == "dpm":
+            dpm_noise = jnp.asarray(
+                np.stack([noise.randn(latents0.shape) for _ in range(num_inference_steps)])
+            )
+
+        latents_out = self._sample(
+            latents0,
+            image_latents.astype(jnp.float32),
+            prompt_embeds,
+            negative_prompt_embeds,
+            sched_plan,
+            lp_plan,
+            g_table,
+            rope_cos,
+            rope_sin,
+            ofs,
+            do_cfg,
+            dpm_noise,
+            pixel_image=pixel_image,
+            pixel_vae_noise=pixel_vae_noise,
+            patch_size_t=patch_size_t,
+        )
+
+        if output_type == "latent":
+            return np.asarray(latents_out)
+
+        latents_out = latents_out[:, additional_frames:]
+        video = self.decode_latents(latents_out)
+        return processing.postprocess_video(np.asarray(video), output_type)
+
+    # -- sampler -----------------------------------------------------------
+
+    def _sample(
+        self,
+        latents0,
+        image_latents,
+        prompt_embeds,
+        negative_prompt_embeds,
+        sched_plan,
+        lp_plan: LPPlan,
+        g_table,
+        rope_cos,
+        rope_sin,
+        ofs,
+        do_cfg: bool,
+        dpm_noise,
+        pixel_image=None,
+        pixel_vae_noise=None,
+        patch_size_t=None,
+    ):
+        tcfg = self.transformer_cfg
+        use_dpm = self.scheduler == "dpm"
+        alg = lp_plan.active
+        pixel_mode = pixel_image is not None
+
+        if do_cfg:
+            embeds2 = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+            embeds3 = (
+                jnp.concatenate([negative_prompt_embeds, negative_prompt_embeds, prompt_embeds], axis=0)
+                if alg
+                else None
+            )
+        else:
+            embeds2 = prompt_embeds
+            embeds3 = None
+
+        # IMPORTANT: every device array reaches the jit as an ARGUMENT; only
+        # host-side numpy tables (filter operators, scheduler coefficients,
+        # rope, g-schedule) are closed over. Closed-over device arrays become
+        # MLIR constants, whose lowering requires a device->host fetch — which
+        # the axon tunnel rejects mid-queue and which would bloat the graph.
+        m_h = lp_plan.m_h if alg else None  # numpy
+        m_w = lp_plan.m_w if alg else None
+        m_idx = lp_plan.m_idx if alg else None
+        scale = self.vae_cfg.scaling_factor
+        latent_frames_total = image_latents.shape[1]
+
+        def lp_condition(i, data):
+            """Per-step filtered conditioning latent (reference prepare_lp)."""
+            if not alg:
+                return data["image_latents"]
+            mh = jnp.asarray(m_h)[jnp.asarray(m_idx)[i]]
+            mw = jnp.asarray(m_w)[jnp.asarray(m_idx)[i]]
+            if not pixel_mode:
+                return apply_filter_matrices(data["image_latents"], mh, mw)
+            # pixel branch: filter RGB → VAE encode → posterior sample →
+            # scale → zero-pad frames → patch_size_t front-pad (:628-680)
+            rgb = apply_filter_matrices(data["pixel_image"], mh, mw)  # [B, 1, C, H, W]
+            mean, logvar = cogvideox_vae_encode(
+                data["vae_params"], self.vae_cfg, rgb.transpose(0, 1, 3, 4, 2)
+            )
+            std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+            z = mean + std * data["pixel_vae_noise"][i]
+            z = z.transpose(0, 1, 4, 2, 3)  # → [B, 1, C, h, w]
+            z = z * scale if not self.vae_cfg.invert_scale_latents else z / scale
+            pad = jnp.zeros(
+                (z.shape[0], latent_frames_total - z.shape[1]) + z.shape[2:], z.dtype
+            )
+            z = jnp.concatenate([z, pad], axis=1)
+            if patch_size_t is not None and z.shape[1] % patch_size_t != 0:
+                n_pre = min(patch_size_t - z.shape[1] % patch_size_t, z.shape[1])
+                z = jnp.concatenate([z[:, :n_pre], z], axis=1)
+            return z.astype(data["image_latents"].dtype)
+
+        def dit(tparams, latent_in, cond_in, embeds, t, ofs_arr):
+            x = jnp.concatenate([latent_in, cond_in], axis=2).astype(self.dtype)
+            out = cogvideox_transformer(
+                tparams,
+                tcfg,
+                x,
+                embeds,
+                jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32),
+                rope_cos,
+                rope_sin,
+                ofs=ofs_arr,
+            )
+            return out.astype(jnp.float32)
+
+        g_np = np.asarray(g_table, np.float32)
+        ts_np = np.asarray(sched_plan.timesteps)
+
+        def step_fn(carry, i, three_pass: bool, data):
+            latents, old_pred = carry
+            t = jnp.asarray(ts_np)[i]
+            g = jnp.asarray(g_np)[i]
+            cond = lp_condition(i, data)
+            tparams = data["tparams"]
+            ofs_arr = data["ofs"]
+
+            if not do_cfg:
+                noise_pred = dit(tparams, latents, cond, data["embeds2"], t, ofs_arr)
+            elif three_pass:
+                b = latents.shape[0]
+                lat_in = jnp.concatenate([latents] * 3, axis=0)
+                cond_in = jnp.concatenate([data["image_latents"], cond, cond], axis=0)
+                pred = dit(tparams, lat_in, cond_in, data["embeds3"], t, ofs_arr)
+                uncond_init, uncond, text = pred[:b], pred[b : 2 * b], pred[2 * b :]
+                noise_pred = uncond_init + g * (text - uncond)
+            else:
+                b = latents.shape[0]
+                lat_in = jnp.concatenate([latents] * 2, axis=0)
+                cond_in = jnp.concatenate([cond, cond], axis=0)
+                pred = dit(tparams, lat_in, cond_in, data["embeds2"], t, ofs_arr)
+                uncond, text = pred[:b], pred[b:]
+                noise_pred = uncond + g * (text - uncond)
+
+            if use_dpm:
+                new_latents, new_old = dpm_step(
+                    sched_plan, i, noise_pred, latents, old_pred, data["dpm_noise"][i]
+                )
+            else:
+                new_latents = ddim_step(sched_plan, i, noise_pred, latents.astype(jnp.float32))
+                new_old = old_pred
+            return (new_latents.astype(jnp.float32), new_old), ()
+
+        @jax.jit
+        def run(data):
+            latents = data["latents0"]
+            carry = (latents, jnp.zeros_like(latents))
+            for seg in lp_plan.segments:
+                body = lambda c, i, tp=seg.three_pass and do_cfg and alg: step_fn(c, i, tp, data)
+                carry, _ = jax.lax.scan(body, carry, jnp.arange(seg.start, seg.stop))
+            return carry[0]
+
+        data = {
+            "latents0": latents0,
+            "image_latents": image_latents,
+            "embeds2": embeds2,
+            "embeds3": embeds3,
+            "tparams": self.transformer_params,
+            "vae_params": self.vae_params if pixel_mode else None,
+            "dpm_noise": dpm_noise,
+            "pixel_image": pixel_image,
+            "pixel_vae_noise": pixel_vae_noise,
+            "ofs": ofs,
+        }
+        return run(data)
+
+    def decode_latents(self, latents) -> jnp.ndarray:
+        """[B, F, C, h, w] → [B, F_pix, C, H, W] fp32 in [-1, 1] (:428-433)."""
+        z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor
+        z = z.transpose(0, 1, 3, 4, 2)  # → BFHWC
+        fn = jax.jit(lambda params, z: cogvideox_vae_decode(params, self.vae_cfg, z))
+        frames = fn(self.vae_params, z)
+        return frames.transpose(0, 1, 4, 2, 3)  # → [B, F, C, H, W]

@@ -1,0 +1,435 @@
+"""Wan2.1-I2V + ALG pipeline — jit-compiled TPU sampler.
+
+Reproduces the reference ``WanImageToVideoPipeline`` semantics
+(``pipeline_wan_image2video_lowpass.py:587-968``) with the same TPU execution
+plan as the CogVideoX pipeline (single jit'd segmented denoise loop, filter
+operators as precomputed matrices, host-side torch-order noise):
+
+  * layout is the reference's ``[B, C, F, h, w]``; frames coerced to 4k+1
+    (``:764-769``);
+  * conditioning = ``[mask(4ch) ⧺ latent_cond(16ch)]`` built from the first
+    frame (+ optional ``last_image``) with argmax (mode) VAE encode and
+    per-channel latents_mean/std normalization (``:372-449``);
+  * latent-space ALG filters the FULL 20-channel condition including the mask
+    channels — faithful quirk 2.4b (``:869-880``);
+  * 2-pass vs 3-pass keyed on strength == 0 with NO exponential shortcut
+    (``:882-894``); 3-pass combine ``uncond_init + g·(text − uncond)``
+    (``:919-921``);
+  * UMT5 text encoding with mask + per-sample trim/re-pad (``:185-224``),
+    CLIP-vision penultimate hidden states as image embeds (``:226-234``);
+  * UniPC scheduler (``run.py:63``), fp32 latents through the loop, final
+    de-normalize + VAE decode (``:948-960``).
+
+Quirk policy: ``guidance_scale <= 1`` raises NameError in the reference
+(2.4a, unreachable) — implemented as a sane single pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import html
+import re
+from typing import Any, Callable, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.alg.matrices import apply_filter_matrices
+from alg_tpu.alg.schedule import LPConfig, LPPlan, build_lp_plan
+from alg_tpu.core.rng import NoiseSource
+from alg_tpu.models.clip import CLIPVisionConfig, clip_preprocess, clip_vision_hidden_states
+from alg_tpu.models.t5 import T5Config, t5_encode
+from alg_tpu.models.wan import (
+    WanTransformerConfig,
+    WanVAEConfig,
+    init_wan_transformer,
+    wan_rope,
+    wan_transformer,
+    wan_vae_decode,
+    wan_vae_encode,
+)
+from alg_tpu.pipelines import processing
+from alg_tpu.schedulers import UniPCConfig, make_unipc_plan, unipc_init_state, unipc_step
+
+
+def prompt_clean(text: str) -> str:
+    """ftfy.fix_text + html unescape + whitespace collapse (reference :97-111;
+    ftfy is optional in this environment)."""
+    try:
+        import ftfy
+
+        text = ftfy.fix_text(text)
+    except ImportError:
+        pass
+    text = html.unescape(html.unescape(text))
+    return re.sub(r"\s+", " ", text).strip()
+
+
+@dataclasses.dataclass
+class WanPipeline:
+    transformer_cfg: WanTransformerConfig
+    transformer_params: Any
+    vae_cfg: WanVAEConfig
+    vae_params: Any
+    t5_cfg: Optional[T5Config] = None
+    t5_params: Any = None
+    clip_cfg: Optional[CLIPVisionConfig] = None
+    clip_params: Any = None
+    tokenize: Optional[Callable] = None  # (prompts, max_len) -> (ids, mask)
+    scheduler_cfg: UniPCConfig = dataclasses.field(default_factory=lambda: UniPCConfig(flow_shift=5.0))
+    dtype: Any = jnp.float32
+
+    @property
+    def vae_scale_factor_spatial(self) -> int:
+        return self.vae_cfg.spatial_scale
+
+    @property
+    def vae_scale_factor_temporal(self) -> int:
+        return self.vae_cfg.temporal_scale
+
+    # -- encoders ----------------------------------------------------------
+
+    def encode_prompt(self, prompt, max_sequence_length: int = 512) -> jnp.ndarray:
+        """UMT5 encode WITH mask; per-sample trim to real length then zero-pad
+        (reference :185-224)."""
+        if self.tokenize is None:
+            raise ValueError("No tokenizer injected; pass prompt_embeds instead")
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        prompts = [prompt_clean(p) for p in prompts]
+        ids, mask = self.tokenize(prompts, max_sequence_length)
+        fn = jax.jit(lambda params, i, m: t5_encode(params, self.t5_cfg, i, m))
+        embeds = np.asarray(fn(self.t5_params, jnp.asarray(ids), jnp.asarray(mask)))
+        seq_lens = mask.sum(axis=1)
+        for b, n in enumerate(seq_lens):
+            embeds[b, n:] = 0.0
+        return jnp.asarray(embeds, self.dtype)
+
+    def encode_image(self, image) -> jnp.ndarray:
+        """CLIP vision penultimate hidden states [B, 257, image_dim]."""
+        pixels = clip_preprocess(image, self.clip_cfg.image_size)
+        fn = jax.jit(
+            lambda params, px: clip_vision_hidden_states(params, self.clip_cfg, px)[-2]
+        )
+        return fn(self.clip_params, jnp.asarray(pixels)).astype(self.dtype)
+
+    # -- main entry --------------------------------------------------------
+
+    def __call__(
+        self,
+        image=None,
+        prompt: Optional[Union[str, Sequence[str]]] = None,
+        negative_prompt: Optional[Union[str, Sequence[str]]] = None,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        seed: int = 42,
+        noise_source: Optional[NoiseSource] = None,
+        latents: Optional[np.ndarray] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        image_embeds: Optional[jnp.ndarray] = None,
+        last_image=None,
+        max_sequence_length: int = 512,
+        output_type: str = "pil",
+        # --- ALG kwargs (reference surface, :612-633) ---
+        use_low_pass_guidance: bool = False,
+        lp_filter_type: str = "none",
+        lp_filter_in_latent: bool = True,
+        lp_blur_sigma: float = 3.0,
+        lp_blur_kernel_size=0.1,
+        lp_resize_factor: float = 0.25,
+        lp_strength_schedule_type: str = "none",
+        schedule_blur_kernel_size: bool = False,
+        schedule_interval_start_time: float = 0.0,
+        schedule_interval_end_time: float = 1.0,
+        schedule_linear_start_weight: float = 1.0,
+        schedule_linear_end_weight: float = 0.0,
+        schedule_linear_end_time: float = 1.0,
+        schedule_exp_decay_rate: float = 5.0,
+    ):
+        do_cfg = guidance_scale > 1.0
+        noise = noise_source or NoiseSource(seed=seed)
+
+        # frames coerced to k·4+1 (reference :764-769)
+        tscale = self.vae_scale_factor_temporal
+        if num_frames % tscale != 1:
+            num_frames = num_frames // tscale * tscale + 1
+        num_frames = max(num_frames, 1)
+        f_lat = (num_frames - 1) // tscale + 1
+        h_lat = height // self.vae_scale_factor_spatial
+        w_lat = width // self.vae_scale_factor_spatial
+        zc = self.vae_cfg.z_dim
+
+        # ---- text / image encoders
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompt(prompt, max_sequence_length)
+        if do_cfg and negative_prompt_embeds is None:
+            neg = negative_prompt if negative_prompt is not None else ""
+            negative_prompt_embeds = self.encode_prompt(
+                [neg] * prompt_embeds.shape[0] if isinstance(neg, str) else neg, max_sequence_length
+            )
+        batch_size = prompt_embeds.shape[0]
+        if image_embeds is None:
+            image_embeds = self.encode_image(image)
+
+        # ---- initial noise [B, z, F_lat, h, w] fp32 (reference :397-398)
+        if latents is None:
+            latents0 = noise.randn((batch_size, zc, f_lat, h_lat, w_lat))
+        else:
+            latents0 = np.asarray(latents, np.float32)
+        latents0 = jnp.asarray(latents0, jnp.float32)
+
+        # ---- condition: [mask(4) ⧺ normalized latent_cond(16)] (:402-449)
+        if image is not None and not isinstance(image, np.ndarray):
+            image_tensor = processing.preprocess_image(image, height, width)
+        else:
+            image_tensor = np.asarray(image, np.float32)
+        condition = self._build_condition(image_tensor, batch_size, num_frames, height, width, last_image)
+
+        # ---- plans
+        sched_plan = make_unipc_plan(self.scheduler_cfg, num_inference_steps)
+        lp_cfg = LPConfig(
+            use_low_pass_guidance=use_low_pass_guidance and do_cfg,
+            lp_filter_type=lp_filter_type,
+            lp_filter_in_latent=lp_filter_in_latent,
+            lp_blur_sigma=lp_blur_sigma,
+            lp_blur_kernel_size=lp_blur_kernel_size,
+            lp_resize_factor=lp_resize_factor,
+            lp_strength_schedule_type=lp_strength_schedule_type,
+            schedule_blur_kernel_size=schedule_blur_kernel_size,
+            schedule_interval_start_time=schedule_interval_start_time,
+            schedule_interval_end_time=schedule_interval_end_time,
+            schedule_linear_start_weight=schedule_linear_start_weight,
+            schedule_linear_end_weight=schedule_linear_end_weight,
+            schedule_linear_end_time=schedule_linear_end_time,
+            schedule_exp_decay_rate=schedule_exp_decay_rate,
+        )
+        filter_h, filter_w = (h_lat, w_lat) if lp_filter_in_latent else (height, width)
+        # Wan has no exponential 2-pass shortcut (:882)
+        lp_plan = build_lp_plan(lp_cfg, num_inference_steps, filter_h, filter_w, exp_shortcut=False)
+
+        pixel_mode = lp_plan.active and not lp_filter_in_latent
+        pixel_image = None
+        pixel_vae_noise = None
+        if pixel_mode:
+            pixel_image = jnp.asarray(image_tensor[:, None], jnp.float32)  # [B,1,C,H,W]
+            pixel_vae_noise = jnp.asarray(
+                np.stack(
+                    [
+                        noise.randn((batch_size, zc, f_lat, h_lat, w_lat)).transpose(0, 2, 3, 4, 1)
+                        for _ in range(num_inference_steps)
+                    ]
+                )
+            )
+
+        latents_out = self._sample(
+            latents0,
+            condition,
+            prompt_embeds,
+            negative_prompt_embeds,
+            image_embeds,
+            sched_plan,
+            lp_plan,
+            guidance_scale,
+            do_cfg,
+            num_frames,
+            pixel_image,
+            pixel_vae_noise,
+        )
+
+        if output_type == "latent":
+            return np.asarray(latents_out)
+
+        video = self.decode_latents(latents_out)  # [B, C, F, H, W]
+        return processing.postprocess_video(np.asarray(video).transpose(0, 2, 1, 3, 4), output_type)
+
+    # -- condition construction -------------------------------------------
+
+    def _mask_block(self, batch_size, num_frames, f_lat, h_lat, w_lat, last_image=None) -> np.ndarray:
+        """[B, 4, F_lat, h, w] mask: ones on conditioned pixel frames, first
+        frame repeated ×4, reshaped (reference :436-447)."""
+        t = self.vae_scale_factor_temporal
+        mask = np.ones((batch_size, 1, num_frames, h_lat, w_lat), np.float32)
+        if last_image is None:
+            mask[:, :, 1:] = 0.0
+        else:
+            mask[:, :, 1:-1] = 0.0
+        first = np.repeat(mask[:, :, 0:1], t, axis=2)
+        mask = np.concatenate([first, mask[:, :, 1:]], axis=2)  # [B,1,F+3,h,w]
+        mask = mask.reshape(batch_size, -1, t, h_lat, w_lat).transpose(0, 2, 1, 3, 4)
+        return mask  # [B, t=4, F_lat, h, w]
+
+    def _encode_video_condition_p(self, vae_params, video_bfchw: jnp.ndarray) -> jnp.ndarray:
+        """argmax (mode) VAE encode + latents_mean/std normalize → [B,z,F',h,w]."""
+        x = video_bfchw.transpose(0, 1, 3, 4, 2)  # BFHWC
+        mean, _ = wan_vae_encode(vae_params, self.vae_cfg, x)
+        z = mean.transpose(0, 4, 1, 2, 3)  # [B, z, F', h, w]
+        lm = jnp.asarray(self.vae_cfg.latents_mean, jnp.float32).reshape(1, -1, 1, 1, 1)
+        ls = jnp.asarray(self.vae_cfg.latents_std, jnp.float32).reshape(1, -1, 1, 1, 1)
+        return (z - lm) / ls
+
+    def _build_condition(self, image_tensor, batch_size, num_frames, height, width, last_image):
+        img = jnp.asarray(image_tensor, jnp.float32)[:, None]  # [B,1,C,H,W]
+        if last_image is None:
+            zeros = jnp.zeros((img.shape[0], num_frames - 1) + img.shape[2:], jnp.float32)
+            video = jnp.concatenate([img, zeros], axis=1)
+        else:
+            last = jnp.asarray(
+                processing.preprocess_image(last_image, height, width)
+                if not isinstance(last_image, np.ndarray)
+                else last_image,
+                jnp.float32,
+            )[:, None]
+            zeros = jnp.zeros((img.shape[0], num_frames - 2) + img.shape[2:], jnp.float32)
+            video = jnp.concatenate([img, zeros, last], axis=1)
+        fn = jax.jit(lambda params, v: self._encode_video_condition_p(params, v))
+        latent_cond = fn(self.vae_params, video)
+        if latent_cond.shape[0] < batch_size:
+            latent_cond = jnp.repeat(latent_cond, batch_size, axis=0)
+        f_lat, h_lat, w_lat = latent_cond.shape[2:]
+        mask = self._mask_block(batch_size, num_frames, f_lat, h_lat, w_lat, last_image)
+        return jnp.concatenate([jnp.asarray(mask), latent_cond], axis=1)  # [B, 20, F', h, w]
+
+    # -- sampler -----------------------------------------------------------
+
+    def _sample(
+        self,
+        latents0,
+        condition,
+        prompt_embeds,
+        negative_prompt_embeds,
+        image_embeds,
+        sched_plan,
+        lp_plan: LPPlan,
+        guidance_scale,
+        do_cfg,
+        num_frames,
+        pixel_image,
+        pixel_vae_noise,
+    ):
+        tcfg = self.transformer_cfg
+        alg = lp_plan.active
+        pixel_mode = pixel_image is not None
+        batch = latents0.shape[0]
+        f_lat, h_lat, w_lat = latents0.shape[2:]
+
+        # host-side tables stay numpy closures; every device array is a jit
+        # ARGUMENT (closed-over device arrays become MLIR constants whose
+        # lowering needs a device→host fetch — rejected by the axon tunnel)
+        rope_cos, rope_sin = wan_rope(tcfg, f_lat, h_lat, w_lat)
+
+        if do_cfg:
+            embeds2 = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+            embeds3 = (
+                jnp.concatenate(
+                    [negative_prompt_embeds, negative_prompt_embeds, prompt_embeds], axis=0
+                )
+                if alg
+                else None
+            )
+        else:
+            embeds2 = prompt_embeds
+            embeds3 = None
+
+        m_h = lp_plan.m_h if alg else None  # numpy
+        m_w = lp_plan.m_w if alg else None
+        m_idx = lp_plan.m_idx if alg else None
+        lm_np = np.asarray(self.vae_cfg.latents_mean, np.float32).reshape(1, -1, 1, 1, 1)
+        ls_np = np.asarray(self.vae_cfg.latents_std, np.float32).reshape(1, -1, 1, 1, 1)
+        ts_np = np.asarray(sched_plan.timesteps)
+
+        def lp_condition(i, data):
+            if not alg:
+                return data["condition"]
+            mh = jnp.asarray(m_h)[jnp.asarray(m_idx)[i]]
+            mw = jnp.asarray(m_w)[jnp.asarray(m_idx)[i]]
+            if not pixel_mode:
+                # latent branch filters the whole 20-ch condition, incl. the
+                # mask channels (faithful quirk 2.4b)
+                return apply_filter_matrices(data["condition"], mh, mw)
+            # pixel branch: filter RGB → rebuild mask+latent condition with a
+            # per-step posterior draw (:493-540)
+            rgb = apply_filter_matrices(data["pixel_image"], mh, mw)
+            zeros = jnp.zeros((rgb.shape[0], num_frames - 1) + rgb.shape[2:], jnp.float32)
+            video = jnp.concatenate([rgb, zeros], axis=1).transpose(0, 1, 3, 4, 2)
+            mean, logvar = wan_vae_encode(data["vae_params"], self.vae_cfg, video)
+            std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+            z = (mean + std * data["pixel_vae_noise"][i]).transpose(0, 4, 1, 2, 3)
+            z = (z - jnp.asarray(lm_np)) / jnp.asarray(ls_np)
+            mask = data["condition"][:, :4]  # identical mask construction (:530-540)
+            return jnp.concatenate([mask, z], axis=1)
+
+        def dit(tparams, lat_in, cond_in, embeds, img_embeds, t):
+            x = jnp.concatenate([lat_in, cond_in], axis=1).astype(self.dtype)
+            out = wan_transformer(
+                tparams,
+                tcfg,
+                x,
+                jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32),
+                embeds.astype(self.dtype),
+                img_embeds.astype(self.dtype),
+                rope_cos,
+                rope_sin,
+            )
+            return out.astype(jnp.float32)
+
+        def step_fn(carry, i, three_pass: bool, data):
+            latents, state = carry
+            t = jnp.asarray(ts_np)[i].astype(jnp.float32)
+            cond = lp_condition(i, data)
+            tparams = data["tparams"]
+            condition_in = data["condition"]
+            img = data["image_embeds"]
+            if not do_cfg:
+                noise_pred = dit(tparams, latents, cond, data["embeds2"], img, t)
+            elif three_pass:
+                lat_in = jnp.concatenate([latents] * 3, axis=0)
+                cond_in = jnp.concatenate([condition_in, cond, cond], axis=0)
+                pred = dit(tparams, lat_in, cond_in, data["embeds3"], jnp.concatenate([img] * 3, axis=0), t)
+                uncond_init, uncond, text = pred[:batch], pred[batch : 2 * batch], pred[2 * batch :]
+                noise_pred = uncond_init + guidance_scale * (text - uncond)
+            else:
+                # strength-0 steps condition on the *clean* condition (:884-888)
+                lat_in = jnp.concatenate([latents] * 2, axis=0)
+                cond_in = jnp.concatenate([condition_in, condition_in], axis=0)
+                pred = dit(tparams, lat_in, cond_in, data["embeds2"], jnp.concatenate([img] * 2, axis=0), t)
+                uncond, text = pred[:batch], pred[batch:]
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            new_latents, new_state = unipc_step(sched_plan, i, noise_pred, latents, state)
+            return (new_latents.astype(jnp.float32), new_state), ()
+
+        @jax.jit
+        def run(data):
+            latents = data["latents0"]
+            state = unipc_init_state(sched_plan, latents.shape)
+            carry = (latents, state)
+            for seg in lp_plan.segments:
+                body = lambda c, i, tp=seg.three_pass and do_cfg and alg: step_fn(c, i, tp, data)
+                carry, _ = jax.lax.scan(body, carry, jnp.arange(seg.start, seg.stop))
+            return carry[0]
+
+        data = {
+            "latents0": latents0,
+            "condition": condition,
+            "embeds2": embeds2,
+            "embeds3": embeds3,
+            "image_embeds": image_embeds,
+            "tparams": self.transformer_params,
+            "vae_params": self.vae_params if pixel_mode else None,
+            "pixel_image": pixel_image,
+            "pixel_vae_noise": pixel_vae_noise,
+        }
+        return run(data)
+
+    def decode_latents(self, latents) -> jnp.ndarray:
+        """De-normalize + VAE decode (:948-960) → [B, C, F, H, W] in [-1,1]."""
+        lm = jnp.asarray(self.vae_cfg.latents_mean, jnp.float32).reshape(1, -1, 1, 1, 1)
+        ls = jnp.asarray(self.vae_cfg.latents_std, jnp.float32).reshape(1, -1, 1, 1, 1)
+        z = latents.astype(jnp.float32) * ls + lm
+        z = z.transpose(0, 2, 3, 4, 1)  # BFHWC
+        fn = jax.jit(lambda params, z: wan_vae_decode(params, self.vae_cfg, z))
+        frames = fn(self.vae_params, z)
+        return frames.transpose(0, 4, 1, 2, 3)

@@ -105,21 +105,23 @@ def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> CogVid
     a_t = np.sqrt((1.0 - alpha_prev) / (1.0 - alpha_t))
     b_t = np.sqrt(alpha_prev) - np.sqrt(alpha_t) * a_t
 
-    # coefficient tables live as jnp arrays so a traced step index can gather them
+    # coefficient tables stay HOST-side numpy: embedding them at trace time
+    # costs no device->host fetch (ir_constant of a TPU-resident array must
+    # round-trip through the axon tunnel, which fails mid-queue)
     return CogVideoXDDIMPlan(
-        timesteps=jnp.asarray(ts),
-        a_t=jnp.asarray(a_t.astype(np.float32)),
-        b_t=jnp.asarray(b_t.astype(np.float32)),
-        sqrt_alpha=jnp.asarray(np.sqrt(alpha_t).astype(np.float32)),
-        sqrt_beta=jnp.asarray(np.sqrt(1.0 - alpha_t).astype(np.float32)),
+        timesteps=ts,
+        a_t=a_t.astype(np.float32),
+        b_t=b_t.astype(np.float32),
+        sqrt_alpha=np.sqrt(alpha_t).astype(np.float32),
+        sqrt_beta=np.sqrt(1.0 - alpha_t).astype(np.float32),
         prediction_type=cfg.prediction_type,
     )
 
 
 def predict_x0(plan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
     """Model-output → x0 conversion for the configured prediction type."""
-    sa = plan.sqrt_alpha[i]
-    sb = plan.sqrt_beta[i]
+    sa = jnp.asarray(plan.sqrt_alpha)[i]
+    sb = jnp.asarray(plan.sqrt_beta)[i]
     if plan.prediction_type == "v_prediction":
         return sa * sample - sb * model_output
     if plan.prediction_type == "epsilon":
@@ -132,4 +134,4 @@ def predict_x0(plan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.n
 def ddim_step(plan: CogVideoXDDIMPlan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
     """One deterministic DDIM step; ``i`` may be a traced index."""
     x0 = predict_x0(plan, i, model_output, sample)
-    return plan.a_t[i] * sample + plan.b_t[i] * x0
+    return jnp.asarray(plan.a_t)[i] * sample + jnp.asarray(plan.b_t)[i] * x0

@@ -78,9 +78,10 @@ def make_dpm_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> CogVide
     mult3[0] = 1.0
     mult4[0] = 0.0
 
-    f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
+    # tables stay host-side numpy (no device fetch at trace time)
+    f32 = lambda x: np.asarray(x, dtype=np.float32)
     return CogVideoXDPMPlan(
-        timesteps=jnp.asarray(ts),
+        timesteps=ts,
         mult1=f32(mult1),
         mult2=f32(mult2),
         mult3=f32(mult3),
@@ -106,12 +107,13 @@ def dpm_step(
     ignored on step 0 — the plan zeroes its coefficient). ``noise`` is a
     standard-normal tensor shaped like ``sample``.
     """
+    t = lambda tab: jnp.asarray(tab)
     if plan.prediction_type == "v_prediction":
-        x0 = plan.sqrt_alpha[i] * sample - plan.sqrt_beta[i] * model_output
+        x0 = t(plan.sqrt_alpha)[i] * sample - t(plan.sqrt_beta)[i] * model_output
     elif plan.prediction_type == "epsilon":
-        x0 = (sample - plan.sqrt_beta[i] * model_output) / plan.sqrt_alpha[i]
+        x0 = (sample - t(plan.sqrt_beta)[i] * model_output) / t(plan.sqrt_alpha)[i]
     else:
         x0 = model_output
-    denoised_d = plan.mult3[i] * x0 - plan.mult4[i] * old_pred_x0
-    prev = plan.mult1[i] * sample - plan.mult2[i] * denoised_d + plan.mult_noise[i] * noise
+    denoised_d = t(plan.mult3)[i] * x0 - t(plan.mult4)[i] * old_pred_x0
+    prev = t(plan.mult1)[i] * sample - t(plan.mult2)[i] * denoised_d + t(plan.mult_noise)[i] * noise
     return prev, x0

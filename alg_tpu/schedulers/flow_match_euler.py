@@ -64,13 +64,15 @@ def make_flow_match_euler_plan(
         ts_out = sig * cfg.num_train_timesteps
         sig_full = np.concatenate([sig, [0.0]])
 
+    # tables stay host-side numpy (no device fetch at trace time)
     return FlowMatchEulerPlan(
-        timesteps=jnp.asarray(ts_out.astype(np.float32)),
-        sigmas=jnp.asarray(sig_full.astype(np.float32)),
+        timesteps=ts_out.astype(np.float32),
+        sigmas=sig_full.astype(np.float32),
     )
 
 
 def flow_match_euler_step(plan: FlowMatchEulerPlan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
     """x_{i+1} = x_i + (σ_{i+1} − σ_i) · v. fp32 accumulate (diffusers casts too)."""
-    dt = plan.sigmas[i + 1] - plan.sigmas[i]
+    sig = jnp.asarray(plan.sigmas)
+    dt = sig[i + 1] - sig[i]
     return (sample.astype(jnp.float32) + dt * model_output.astype(jnp.float32)).astype(sample.dtype)

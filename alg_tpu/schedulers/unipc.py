@@ -180,9 +180,10 @@ def make_unipc_plan(
                 c_cd[i, k - 1] = a_cur * b_h * rhos_c[k - 1] / r_ks[k - 1]
             c_ct[i] = a_cur * b_h * rhos_c[-1]
 
-    f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
+    # tables stay host-side numpy (no device fetch at trace time)
+    f32 = lambda x: np.asarray(x, dtype=np.float32)
     return UniPCPlan(
-        timesteps=jnp.asarray(timesteps),
+        timesteps=timesteps,
         sigmas=f32(sig_full),
         p_cx=f32(p_cx),
         p_cm0=f32(p_cm0),
@@ -217,24 +218,25 @@ def unipc_step(
     """
     x = sample.astype(jnp.float32)
     v = model_output.astype(jnp.float32)
-    sigma_i = plan.sigmas[i]
+    t = lambda tab: jnp.asarray(tab)
+    sigma_i = t(plan.sigmas)[i]
     m_t = x - sigma_i * v  # flow_prediction → x0
 
     m_hist = [mm.astype(jnp.float32) for mm in state.m]  # m_hist[0] = m_{i-1}, [1] = m_{i-2}, ...
     m0 = m_hist[0]
 
     # ---- corrector (no-op at i=0 via mask)
-    corr = plan.c_cx[i] * state.last_sample.astype(jnp.float32) - plan.c_cm0[i] * m0
-    res = plan.c_ct[i] * (m_t - m0)
+    corr = t(plan.c_cx)[i] * state.last_sample.astype(jnp.float32) - t(plan.c_cm0)[i] * m0
+    res = t(plan.c_ct)[i] * (m_t - m0)
     for k in range(1, plan.solver_order):
-        res = res + plan.c_cd[i, k - 1] * (m_hist[k] - m0)
+        res = res + t(plan.c_cd)[i, k - 1] * (m_hist[k] - m0)
     corr = corr - res
-    x_used = jnp.where(plan.c_mask[i] > 0, corr, x)
+    x_used = jnp.where(t(plan.c_mask)[i] > 0, corr, x)
 
     # ---- predictor
-    prev = plan.p_cx[i] * x_used - plan.p_cm0[i] * m_t
+    prev = t(plan.p_cx)[i] * x_used - t(plan.p_cm0)[i] * m_t
     for k in range(1, plan.solver_order):
-        prev = prev - plan.p_cd[i, k - 1] * (m_hist[k - 1] - m_t)
+        prev = prev - t(plan.p_cd)[i, k - 1] * (m_hist[k - 1] - m_t)
 
     new_m = tuple([m_t] + m_hist[:-1])
     new_state = UniPCState(m=new_m, last_sample=x_used)

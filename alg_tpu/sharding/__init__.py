@@ -1,0 +1,4 @@
+from alg_tpu.sharding.mesh import make_mesh, cpu_mesh
+from alg_tpu.sharding.partition import cogvideox_transformer_specs, shard_params
+
+__all__ = ["make_mesh", "cpu_mesh", "cogvideox_transformer_specs", "shard_params"]

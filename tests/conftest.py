@@ -11,6 +11,15 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# fp32 parity tests need true-fp32 MXU passes (the TPU default is bf16 passes)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache: the axon/TPU backend pays 10-40s per new shape
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,209 @@
+"""HunyuanVideo model + pipeline tests (tiny shapes)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.models.hunyuan import (
+    HunyuanVideoTransformerConfig,
+    HunyuanVAEConfig,
+    hunyuan_rope,
+    hunyuan_transformer,
+    hunyuan_vae_decode,
+    hunyuan_vae_encode,
+    init_hunyuan_transformer,
+    init_hunyuan_vae,
+)
+from alg_tpu.pipelines import HunyuanVideoPipeline
+
+
+def _tiny_dit_cfg():
+    return HunyuanVideoTransformerConfig(
+        in_channels=4,
+        out_channels=4,
+        num_attention_heads=2,
+        attention_head_dim=8,
+        num_layers=1,
+        num_single_layers=2,
+        num_refiner_layers=1,
+        mlp_ratio=2.0,
+        text_embed_dim=12,
+        pooled_projection_dim=6,
+        rope_axes_dim=(2, 4, 2),  # wait: must sum to head_dim/... (t+h+w = d/2·2)
+    )
+
+
+def test_hunyuan_transformer_shapes():
+    # rope axes must sum to head_dim (here 8): (2, 4, 2)? axes dims are per-axis
+    # feature sizes; sum must equal head_dim
+    cfg = HunyuanVideoTransformerConfig(
+        in_channels=4,
+        out_channels=4,
+        num_attention_heads=2,
+        attention_head_dim=8,
+        num_layers=1,
+        num_single_layers=2,
+        num_refiner_layers=1,
+        mlp_ratio=2.0,
+        text_embed_dim=12,
+        pooled_projection_dim=6,
+        rope_axes_dim=(2, 4, 2),
+    )
+    key = jax.random.PRNGKey(0)
+    params = init_hunyuan_transformer(key, cfg)
+    x = jax.random.normal(key, (2, 4, 3, 4, 4))  # [B, C, F, h, w]
+    text = jax.random.normal(key, (2, 7, 12))
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1]], np.int32))
+    pooled = jax.random.normal(key, (2, 6))
+    cos, sin = hunyuan_rope(cfg, 3, 4, 4)
+    assert cos.shape == (3 * 2 * 2, 8)
+    out = jax.jit(
+        lambda p, x, t, e, m, pl: hunyuan_transformer(
+            p, cfg, x, t, e, m, pl, guidance=jnp.array([6000.0, 6000.0]), rope_cos=cos, rope_sin=sin
+        )
+    )(params, x, jnp.array([500.0, 900.0]), text, mask, pooled)
+    assert out.shape == (2, 4, 3, 4, 4)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_hunyuan_transformer_guidance_matters():
+    cfg = HunyuanVideoTransformerConfig(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_single_layers=1, num_refiner_layers=1, mlp_ratio=2.0,
+        text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(2, 4, 2),
+    )
+    key = jax.random.PRNGKey(0)
+    params = init_hunyuan_transformer(key, cfg)
+    x = jax.random.normal(key, (1, 4, 2, 4, 4))
+    text = jax.random.normal(key, (1, 5, 12))
+    pooled = jax.random.normal(key, (1, 6))
+    cos, sin = hunyuan_rope(cfg, 2, 4, 4)
+    t = jnp.array([500.0])
+    o1 = hunyuan_transformer(params, cfg, x, t, text, None, pooled, jnp.array([6000.0]), cos, sin)
+    o2 = hunyuan_transformer(params, cfg, x, t, text, None, pooled, jnp.array([1000.0]), cos, sin)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def _tiny_vae_cfg():
+    return HunyuanVAEConfig(
+        block_out_channels=(8, 16, 16, 16), latent_channels=4, layers_per_block=1, norm_num_groups=4
+    )
+
+
+def test_hunyuan_vae_shapes():
+    cfg = _tiny_vae_cfg()
+    params = init_hunyuan_vae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 32, 32, 3))
+    mean, logvar = hunyuan_vae_encode(params, cfg, x)
+    assert mean.shape == (1, 3, 4, 4, 4)
+    rec = hunyuan_vae_decode(params, cfg, mean)
+    assert rec.shape == (1, 9, 32, 32, 3)
+    assert bool(jnp.isfinite(rec).all())
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    tcfg = HunyuanVideoTransformerConfig(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_single_layers=1, num_refiner_layers=1, mlp_ratio=2.0,
+        text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(2, 4, 2),
+    )
+    vcfg = _tiny_vae_cfg()
+    key = jax.random.PRNGKey(0)
+    return HunyuanVideoPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=init_hunyuan_transformer(key, tcfg),
+        vae_cfg=vcfg,
+        vae_params=init_hunyuan_vae(jax.random.PRNGKey(1), vcfg),
+    )
+
+
+def _embeds(b=1):
+    rng = np.random.RandomState(0)
+    return (
+        jnp.asarray(rng.randn(b, 7, 12).astype(np.float32)),
+        jnp.asarray(rng.randn(b, 6).astype(np.float32)),
+        jnp.asarray(np.ones((b, 7), np.int32)),
+    )
+
+
+def test_hunyuan_pipeline_single_pass_alg(pipe):
+    """Shipped config path: true_cfg 1.0, ALG on → single pass with filtered
+    conditioning; token_replace pins frame 0 to the clean image latent."""
+    emb, pooled, mask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    lat = pipe(
+        image=img,
+        prompt_embeds=emb,
+        pooled_prompt_embeds=pooled,
+        prompt_attention_mask=mask,
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=3,
+        guidance_scale=6.0,
+        true_cfg_scale=1.0,
+        i2v_stable=True,
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.625,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.5,
+        output_type="latent",
+        seed=42,
+    )
+    assert lat.shape == (1, 4, 3, 4, 4)
+    assert np.isfinite(lat).all()
+    # frame 0 must equal the clean image latent (token_replace re-pinning)
+    import jax.numpy as jnp2
+
+    x = jnp.asarray(img, jnp.float32)[:, None].transpose(0, 1, 3, 4, 2)
+    from alg_tpu.models.hunyuan import hunyuan_vae_encode as enc
+
+    mean, _ = enc(pipe.vae_params, pipe.vae_cfg, x)
+    il = np.asarray(mean.transpose(0, 4, 1, 2, 3)) * pipe.vae_cfg.scaling_factor
+    np.testing.assert_allclose(lat[:, :, 0], il[:, :, 0], atol=1e-4)
+
+
+def test_hunyuan_pipeline_true_cfg(pipe):
+    emb, pooled, mask = _embeds()
+    nemb, npooled, nmask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    video = pipe(
+        image=img,
+        prompt_embeds=emb,
+        pooled_prompt_embeds=pooled,
+        prompt_attention_mask=mask,
+        negative_prompt_embeds=nemb,
+        negative_pooled_prompt_embeds=npooled,
+        negative_prompt_attention_mask=nmask,
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=2,
+        guidance_scale=6.0,
+        true_cfg_scale=2.0,
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.5,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.6,
+        output_type="np",
+        seed=42,
+    )
+    assert video.shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
+def test_hunyuan_lp_img_embeds_asserts(pipe):
+    emb, pooled, mask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    with pytest.raises(AssertionError):
+        pipe(image=img, prompt_embeds=emb, pooled_prompt_embeds=pooled, prompt_attention_mask=mask,
+             height=32, width=32, num_frames=9, num_inference_steps=2, enable_lp_img_embeds=True)

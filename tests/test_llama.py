@@ -1,0 +1,149 @@
+"""Llama / Llava parity vs tiny-random transformers models."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.models.clip import CLIPVisionConfig
+from alg_tpu.models.llama import (
+    LlamaConfig,
+    LlavaConfig,
+    llama_hidden_states,
+    llava_hidden_states,
+)
+from alg_tpu.io import weights as W
+
+
+def _tiny_llama_hf():
+    from transformers import LlamaConfig as HFCfg, LlamaModel as HFModel
+
+    hf = HFCfg(
+        vocab_size=120,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        attention_bias=False,
+    )
+    torch.manual_seed(0)
+    model = HFModel(hf).eval()
+    cfg = LlamaConfig(
+        vocab_size=120,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    return model, cfg
+
+
+def test_llama_parity():
+    model, cfg = _tiny_llama_hf()
+    params = W.convert_llama(model.state_dict(), cfg, prefix="")
+    ids = np.array([[5, 17, 99, 3, 1, 7, 11, 2]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(ids), output_hidden_states=True)
+    embeds = params["embed"][jnp.asarray(ids)]
+    ours = llama_hidden_states(params, cfg, embeds)
+    # hidden_states[-3] — the HunyuanVideo extraction point
+    np.testing.assert_allclose(np.asarray(ours[-3]), ref.hidden_states[-3].numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours[-1]), ref.hidden_states[-1].numpy(), atol=2e-4)
+
+
+def test_llama_right_padding_mask():
+    model, cfg = _tiny_llama_hf()
+    params = W.convert_llama(model.state_dict(), cfg, prefix="")
+    ids = np.array([[5, 17, 99, 3, 0, 0]], dtype=np.int64)
+    mask = np.array([[1, 1, 1, 1, 0, 0]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            output_hidden_states=True,
+        )
+    embeds = params["embed"][jnp.asarray(ids)]
+    ours = llama_hidden_states(params, cfg, embeds, kv_len=jnp.asarray([4], jnp.int32))
+    # only the unmasked positions must match (padded positions differ benignly)
+    np.testing.assert_allclose(
+        np.asarray(ours[-1])[:, :4], ref.hidden_states[-1].numpy()[:, :4], atol=2e-4
+    )
+
+
+def test_llava_parity():
+    from transformers import (
+        CLIPVisionConfig as HFVision,
+        LlamaConfig as HFText,
+        LlavaConfig as HFLlava,
+        LlavaForConditionalGeneration,
+    )
+
+    hf_cfg = HFLlava(
+        vision_config=HFVision(
+            hidden_size=24,
+            intermediate_size=48,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=28,
+            patch_size=14,
+            hidden_act="quick_gelu",
+        ),
+        text_config=HFText(
+            vocab_size=120,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            rope_theta=10000.0,
+        ),
+        image_token_index=110,
+        pad_token_id=0,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+    )
+    torch.manual_seed(0)
+    model = LlavaForConditionalGeneration(hf_cfg).eval()
+    cfg = LlavaConfig(
+        text=LlamaConfig(
+            vocab_size=120,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-6,  # HF LlavaConfig text default
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=24,
+            intermediate_size=48,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=28,
+            patch_size=14,
+            hidden_act="quick_gelu",
+        ),
+        image_token_index=110,
+        pad_token_id=0,
+    )
+    params = W.convert_llava(model.state_dict(), cfg)
+    # 28/14 = 2x2 = 4 image patches → 4 image tokens
+    ids = np.array([[5, 110, 110, 110, 110, 17, 3, 2]], dtype=np.int64)
+    px = np.random.RandomState(0).randn(1, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(px),
+            output_hidden_states=True,
+        )
+    ours = llava_hidden_states(params, cfg, jnp.asarray(ids), jnp.asarray(px))
+    np.testing.assert_allclose(np.asarray(ours[-3]), ref.hidden_states[-3].numpy(), atol=3e-4)

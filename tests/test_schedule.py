@@ -101,10 +101,13 @@ def test_plan_interval_segments_and_identity():
     assert (seg0.start, seg0.stop, seg0.three_pass) == (0, 2, True)
     assert (seg1.start, seg1.stop, seg1.three_pass) == (2, 50, False)
     # inactive steps carry identity operators
-    np.testing.assert_array_equal(plan.m_h[5], np.eye(12, dtype=np.float32))
-    np.testing.assert_array_equal(plan.m_w[5], np.eye(16, dtype=np.float32))
+    mh5, mw5 = plan.step_matrices(5)
+    np.testing.assert_array_equal(mh5, np.eye(12, dtype=np.float32))
+    np.testing.assert_array_equal(mw5, np.eye(16, dtype=np.float32))
     # active steps carry a genuine low-pass operator
-    assert not np.allclose(plan.m_h[0], np.eye(12))
+    assert not np.allclose(plan.step_matrices(0)[0], np.eye(12))
+    # interval schedule dedupes to exactly 2 unique operators
+    assert plan.m_h.shape[0] == 2
 
 
 def test_plan_exponential_shortcut():

@@ -1,0 +1,265 @@
+"""Wan model + pipeline tests (tiny shapes) and CLIP parity vs transformers."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    clip_text_encode,
+    clip_vision_hidden_states,
+)
+from alg_tpu.models.wan import (
+    WanTransformerConfig,
+    WanVAEConfig,
+    init_wan_transformer,
+    init_wan_vae,
+    wan_rope,
+    wan_transformer,
+    wan_vae_decode,
+    wan_vae_encode,
+)
+from alg_tpu.io import weights as W
+
+
+def _tiny_wan_cfg():
+    return WanTransformerConfig(
+        num_attention_heads=2,
+        attention_head_dim=12,
+        in_channels=9,  # 4 latent + 4 mask-ish + 1, arbitrary for test
+        out_channels=4,
+        num_layers=2,
+        ffn_dim=32,
+        freq_dim=16,
+        text_dim=8,
+        image_dim=10,
+        patch_size=(1, 2, 2),
+    )
+
+
+def test_wan_transformer_shapes():
+    cfg = _tiny_wan_cfg()
+    key = jax.random.PRNGKey(0)
+    params = init_wan_transformer(key, cfg)
+    x = jax.random.normal(key, (2, 9, 3, 4, 6))  # [B, C, F, h, w]
+    text = jax.random.normal(key, (2, 7, 8))
+    img = jax.random.normal(key, (2, 5, 10))
+    cos, sin = wan_rope(cfg, 3, 4, 6)
+    assert cos.shape == (3 * 2 * 3, 12)
+    out = jax.jit(
+        lambda p, x, t, tx, im: wan_transformer(p, cfg, x, t, tx, im, jnp.asarray(cos), jnp.asarray(sin))
+    )(params, x, jnp.array([500.0, 900.0]), text, img)
+    assert out.shape == (2, 4, 3, 4, 6)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_wan_transformer_image_conditioning_matters():
+    cfg = _tiny_wan_cfg()
+    key = jax.random.PRNGKey(0)
+    params = init_wan_transformer(key, cfg)
+    x = jax.random.normal(key, (1, 9, 2, 4, 4))
+    text = jax.random.normal(key, (1, 7, 8))
+    cos, sin = wan_rope(cfg, 2, 4, 4)
+    i1 = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 10))
+    i2 = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 10))
+    t = jnp.array([500.0])
+    o1 = wan_transformer(params, cfg, x, t, text, i1, cos, sin)
+    o2 = wan_transformer(params, cfg, x, t, text, i2, cos, sin)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def _tiny_wan_vae_cfg():
+    return WanVAEConfig(base_dim=8, z_dim=4, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+
+
+def test_wan_vae_shapes():
+    cfg = _tiny_wan_vae_cfg()
+    params = init_wan_vae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 32, 32, 3))
+    mean, logvar = wan_vae_encode(params, cfg, x)
+    # (F-1)/4+1 = 3 latent frames, 8x spatial
+    assert mean.shape == (1, 3, 4, 4, 4) and logvar.shape == mean.shape
+    rec = wan_vae_decode(params, cfg, mean)
+    assert rec.shape == (1, 9, 32, 32, 3)
+    assert bool(jnp.isfinite(rec).all())
+
+
+def test_wan_vae_single_frame():
+    cfg = _tiny_wan_vae_cfg()
+    params = init_wan_vae(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 16, 16, 3))
+    mean, _ = wan_vae_encode(params, cfg, x)
+    assert mean.shape == (1, 1, 2, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# pipeline (tiny end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wan_pipe():
+    from alg_tpu.pipelines import WanPipeline
+    from alg_tpu.schedulers import UniPCConfig
+
+    tcfg = WanTransformerConfig(
+        num_attention_heads=2,
+        attention_head_dim=12,
+        in_channels=12,  # 4 latent + 4 mask + 4 cond
+        out_channels=4,
+        num_layers=2,
+        ffn_dim=32,
+        freq_dim=16,
+        text_dim=8,
+        image_dim=10,
+    )
+    vcfg = WanVAEConfig(
+        base_dim=8,
+        z_dim=4,
+        dim_mult=(1, 2, 2, 2),
+        num_res_blocks=1,
+        latents_mean=tuple(float(x) for x in np.linspace(-0.5, 0.5, 4)),
+        latents_std=tuple(float(x) for x in np.linspace(1.0, 2.0, 4)),
+    )
+    key = jax.random.PRNGKey(0)
+    return WanPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=init_wan_transformer(key, tcfg),
+        vae_cfg=vcfg,
+        vae_params=init_wan_vae(jax.random.PRNGKey(1), vcfg),
+        scheduler_cfg=UniPCConfig(flow_shift=5.0),
+    )
+
+
+def test_wan_pipeline_alg_run(wan_pipe):
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    rng = np.random.RandomState(1)
+    emb = jnp.asarray(rng.randn(1, 7, 8).astype(np.float32))
+    neg = jnp.asarray(rng.randn(1, 7, 8).astype(np.float32))
+    img_emb = jnp.asarray(rng.randn(1, 5, 10).astype(np.float32))
+    video = wan_pipe(
+        image=img,
+        prompt_embeds=emb,
+        negative_prompt_embeds=neg,
+        image_embeds=img_emb,
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=4,
+        guidance_scale=5.0,
+        seed=42,
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.4,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.4,
+        output_type="np",
+    )
+    assert video.shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
+def test_wan_pipeline_identity_filter_matches_baseline(wan_pipe):
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    rng = np.random.RandomState(1)
+    emb = jnp.asarray(rng.randn(1, 7, 8).astype(np.float32))
+    neg = jnp.asarray(rng.randn(1, 7, 8).astype(np.float32))
+    img_emb = jnp.asarray(rng.randn(1, 5, 10).astype(np.float32))
+    kw = dict(
+        image=img, prompt_embeds=emb, negative_prompt_embeds=neg, image_embeds=img_emb,
+        height=32, width=32, num_frames=9, num_inference_steps=3, guidance_scale=5.0,
+        seed=42, output_type="latent",
+    )
+    base = wan_pipe(**kw)
+    noop = wan_pipe(
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_resize_factor=0.4,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.8,
+        schedule_interval_end_time=0.9,  # 3 steps: norms {0, .5, 1} → never active
+        **kw,
+    )
+    np.testing.assert_allclose(base, noop, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# CLIP parity vs transformers
+# ---------------------------------------------------------------------------
+
+
+def test_clip_vision_parity():
+    from transformers import CLIPVisionConfig as HFCfg, CLIPVisionModel as HFModel
+
+    hf_cfg = HFCfg(
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        image_size=28,
+        patch_size=14,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    model = HFModel(hf_cfg).eval()
+    cfg = CLIPVisionConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        image_size=28,
+        patch_size=14,
+        hidden_act="gelu",
+    )
+    params = W.convert_clip_vision(model.state_dict(), cfg)
+    px = np.random.RandomState(0).randn(2, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(px), output_hidden_states=True)
+    ours = clip_vision_hidden_states(params, cfg, jnp.asarray(px))
+    # hidden_states[-2]: the Wan conditioning tensor
+    np.testing.assert_allclose(
+        np.asarray(ours[-2]), ref.hidden_states[-2].numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(ours[-1]), ref.hidden_states[-1].numpy(), atol=2e-4)
+
+
+def test_clip_text_parity():
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel as HFModel
+
+    hf_cfg = HFCfg(
+        vocab_size=99,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=12,
+        hidden_act="quick_gelu",
+        eos_token_id=98,
+        bos_token_id=97,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    model = HFModel(hf_cfg).eval()
+    cfg = CLIPTextConfig(
+        vocab_size=99,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=12,
+        hidden_act="quick_gelu",
+        eos_token_id=98,
+    )
+    params = W.convert_clip_text(model.state_dict(), cfg)
+    ids = np.array([[97, 5, 7, 98, 0, 0], [97, 11, 13, 17, 19, 98]], dtype=np.int64)
+    with torch.no_grad():
+        ref = model(input_ids=torch.from_numpy(ids))
+    hidden, pooled = clip_text_encode(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(hidden), ref.last_hidden_state.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), ref.pooler_output.numpy(), atol=2e-4)
