@@ -231,7 +231,7 @@ def _block(
         # sharding with GSPMD, and elementwise fuses better anyway)
         q = R.apply_rope_interleaved(q, rope_cos, rope_sin)
         k = R.apply_rope_interleaved(k, rope_cos, rope_sin)
-    o = attention(q, k, v)
+    o = attention(q, k, v, stable=False)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, dim)
     o = L.linear(bp["attn"]["to_out"], o)
     encoder = encoder + e_gate * o[:, :text_len]

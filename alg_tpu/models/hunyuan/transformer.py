@@ -330,7 +330,7 @@ def hunyuan_transformer(
         if rc is not None:
             qj = R.apply_rope_interleaved(qj, jnp.asarray(rc), jnp.asarray(rs))
             kj = R.apply_rope_interleaved(kj, jnp.asarray(rc), jnp.asarray(rs))
-        oj = attention(qj, kj, vj, kv_len=kv_len)
+        oj = attention(qj, kj, vj, kv_len=kv_len, stable=False)
         oj = unheads(oj)
         xo, to = oj[:, :seq_v], oj[:, seq_v:]
         xx = _gate_concat(xx, L.linear(a["to_out"], xo), g_msa, tg_msa, first_frame_len)
@@ -378,7 +378,7 @@ def hunyuan_transformer(
         if rc is not None:
             q = R.apply_rope_interleaved(q, jnp.asarray(rc), jnp.asarray(rs))
             k = R.apply_rope_interleaved(k, jnp.asarray(rc), jnp.asarray(rs))
-        o = unheads(attention(q, k, v, kv_len=kv_len))
+        o = unheads(attention(q, k, v, kv_len=kv_len, stable=False))
         mlp_out = L.silu(L.linear(bp["proj_mlp"], xn))
         out = L.linear(bp["proj_out"], jnp.concatenate([o, mlp_out], axis=-1))
         if token_replace:

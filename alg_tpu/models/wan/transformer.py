@@ -151,12 +151,12 @@ def _attn(p, cfg, q_in, kv_in, rope_cos=None, rope_sin=None, extra_kv=None):
     if rope_cos is not None:
         qh = R.apply_rope_interleaved(qh, rope_cos, rope_sin)
         kh = R.apply_rope_interleaved(kh, rope_cos, rope_sin)
-    out = attention(qh, kh, vh)
+    out = attention(qh, kh, vh, stable=False)
 
     if extra_kv is not None:
         k_img = L.rms_norm(p["norm_added_k"], L.linear(p["add_k_proj"], extra_kv), cfg.eps)
         v_img = L.linear(p["add_v_proj"], extra_kv)
-        out = out + attention(qh, heads(k_img), heads(v_img))
+        out = out + attention(qh, heads(k_img), heads(v_img), stable=False)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, sq, dim)
     return L.linear(p["to_out"], out)

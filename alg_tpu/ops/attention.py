@@ -84,12 +84,16 @@ def attention(
     kv_len: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    stable: bool = True,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, H, S, D]`` tensors.
 
     ``kv_len``: optional ``[B]`` int32 — keys at positions >= kv_len[b] are
     masked out. ``bias``: optional additive logit bias broadcastable to
     ``[B, H, Sq, Sk]``. ``impl``: "auto" | "pallas" | "xla".
+    ``stable=False`` selects the bounded-logit fast path (no running max,
+    ~2x faster at head_dim 64) — safe for trained DiT attention where
+    |logit| ≪ 80; keep True for text encoders and anything adversarial.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -99,5 +103,7 @@ def attention(
         else:
             impl = "pallas" if supports_flash(q, k, v, bias) else "xla"
     if impl == "pallas":
-        return flash_attention(q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias)
+        return flash_attention(
+            q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias, stable=stable
+        )
     return _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len, bias=bias)

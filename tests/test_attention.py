@@ -1,0 +1,99 @@
+"""Flash-attention kernel parity vs a float64 numpy reference (runs on the
+real TPU chip; the XLA fallback is covered implicitly by CPU-mesh tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.ops.flash_attention import flash_attention, supports_flash
+
+
+def _np_ref(q, k, v, scale, causal=False, kv_len=None, bias=None):
+    l = np.einsum("bhqd,bhkd->bhqk", q.astype(np.float64), k.astype(np.float64)) * scale
+    if bias is not None:
+        l = l + bias
+    sq, sk = q.shape[2], k.shape[2]
+    if causal:
+        m = np.tril(np.ones((sq, sk), bool), k=sk - sq)
+        l = np.where(m, l, -np.inf)
+    if kv_len is not None:
+        m = np.arange(sk)[None, :] < kv_len[:, None]
+        l = np.where(m[:, None, None, :], l, -np.inf)
+    p = np.exp(l - l.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v.astype(np.float64))
+
+
+def _qkv(rng, b, h, sq, sk, d):
+    return (
+        rng.randn(b, h, sq, d).astype(np.float32),
+        rng.randn(b, h, sk, d).astype(np.float32),
+        rng.randn(b, h, sk, d).astype(np.float32),
+    )
+
+
+pytestmark = pytest.mark.skipif(
+    not supports_flash(None, None, None, None), reason="no TPU backend"
+)
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_dense_padded(stable, rng):
+    q, k, v = _qkv(rng, 1, 2, 300, 300, 64)
+    ref = _np_ref(q, k, v, 64**-0.5)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=64**-0.5, stable=stable
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref, atol=5e-6)
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_kv_len(stable, rng):
+    q, k, v = _qkv(rng, 2, 2, 200, 200, 64)
+    kv_len = np.array([70, 200])
+    ref = _np_ref(q, k, v, 64**-0.5, kv_len=kv_len)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=64**-0.5,
+        kv_len=jnp.asarray(kv_len, jnp.int32), stable=stable,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref, atol=5e-6)
+
+
+def test_causal(rng):
+    q, k, v = _qkv(rng, 1, 2, 256, 256, 64)
+    ref = _np_ref(q, k, v, 64**-0.5, causal=True)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=64**-0.5, causal=True
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref, atol=5e-6)
+
+
+def test_bias(rng):
+    q, k, v = _qkv(rng, 1, 4, 150, 150, 64)
+    bias = (rng.randn(4, 150, 150) * 0.5).astype(np.float32)
+    ref = _np_ref(q, k, v, 64**-0.5, bias=bias)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=64**-0.5, bias=jnp.asarray(bias)
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref, atol=5e-6)
+
+
+def test_cross_attention_shapes(rng):
+    q, k, v = _qkv(rng, 1, 2, 300, 77, 64)
+    ref = _np_ref(q, k, v, 64**-0.5)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=64**-0.5)
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref, atol=5e-6)
+
+
+def test_fast_path_large_logits_overflow_documented(rng):
+    """The fast path trades overflow-safety for speed: logits beyond ~±80 are
+    out of contract. This documents the boundary — WITHIN it results match."""
+    q, k, v = _qkv(rng, 1, 1, 128, 128, 64)
+    q *= 4.0  # logits up to ~±40 — still within the fp32 exp2 budget
+    ref = _np_ref(q, k, v, 64**-0.5)
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=64**-0.5, stable=False
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float64), ref, atol=2e-5)
