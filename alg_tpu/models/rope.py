@@ -34,11 +34,15 @@ def apply_rope_interleaved(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -
 
     ``x``: [..., S, D]; ``cos``/``sin``: [S, D] (or broadcastable).
     Matches diffusers ``apply_rotary_emb(use_real=True, use_real_unbind_dim=-1)``.
+    Computes in the input dtype (bf16 rope for bf16 activations — the rotation
+    is value-preserving so bf16 rounding here matches the surrounding compute;
+    fp32 parity runs stay fp32).
     """
-    xf = x.astype(jnp.float32)
-    x2 = xf.reshape(xf.shape[:-1] + (-1, 2))
-    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(xf.shape)
-    return (xf * cos + rot * sin).astype(x.dtype)
+    c = jnp.asarray(cos, x.dtype)
+    s = jnp.asarray(sin, x.dtype)
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    return x * c + rot * s
 
 
 def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:

@@ -181,7 +181,7 @@ def flash_attention(
     kv_len: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     block_q: int = 512,
-    block_k: int = 1024,
+    block_k: int = 2048,
     stable: bool = True,
 ) -> jnp.ndarray:
     """Flash attention over ``[B, H, S, D]``. Sequence dims are zero-padded to
