@@ -1,0 +1,77 @@
+"""Spatially tiled VAE decode with overlap blending.
+
+The reference relies on diffusers' ``enable_tiling``/``enable_slicing`` for
+VAE memory relief (``pipeline_hunyuan_video_image2video_lowpass.py:601-628``);
+at 720p×129 frames a whole-clip decode would hold ~30 GB of activations. This
+is the TPU equivalent: decode overlapping latent tiles through the jitted
+decoder and linear-blend the seams, with diffusers' ``tiled_decode`` assembly:
+
+    tile rows at stride S with tile size T (overlap T−S);
+    each tile blends its top edge with the tile above and its left edge with
+    the tile to its left:  out[i] = prev[S+i]·(1 − i/O) + cur[i]·(i/O);
+    tiles are cropped to the stride and concatenated; the result is cropped
+    to the exact output size.
+
+Edge tiles may be smaller — at most 4 distinct shapes reach the decoder
+(interior / right edge / bottom edge / corner), each compiled once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+
+def blend_v(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Blend ``a``'s bottom rows into ``b``'s top rows (H = axis 2 of
+    channels-last [B, F, H, W, C])."""
+    extent = min(a.shape[2], b.shape[2], extent)
+    t = (jnp.arange(extent, dtype=jnp.float32) / extent)[None, None, :, None, None]
+    top = a[:, :, -extent:].astype(jnp.float32) * (1 - t) + b[:, :, :extent].astype(jnp.float32) * t
+    return jnp.concatenate([top.astype(b.dtype), b[:, :, extent:]], axis=2)
+
+
+def blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    extent = min(a.shape[3], b.shape[3], extent)
+    t = (jnp.arange(extent, dtype=jnp.float32) / extent)[None, None, None, :, None]
+    left = a[:, :, :, -extent:].astype(jnp.float32) * (1 - t) + b[:, :, :, :extent].astype(jnp.float32) * t
+    return jnp.concatenate([left.astype(b.dtype), b[:, :, :, extent:]], axis=3)
+
+
+def tiled_decode(
+    decode_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    z: jnp.ndarray,  # [B, F', h, w, C] latent (channels-last)
+    spatial_scale: int,
+    tile_latent: int = 32,
+    stride_latent: int = 24,
+) -> jnp.ndarray:
+    """Decode ``z`` in overlapping ``tile_latent``² windows. Returns the
+    assembled [B, F, h·scale, w·scale, 3] video."""
+    b, f, h, w, c = z.shape
+    if h <= tile_latent and w <= tile_latent:
+        return decode_fn(z)
+
+    overlap_px = (tile_latent - stride_latent) * spatial_scale
+    stride_px = stride_latent * spatial_scale
+
+    rows = []
+    for i in range(0, h, stride_latent):
+        row = []
+        for j in range(0, w, stride_latent):
+            tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
+            row.append(decode_fn(tile))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend_v(rows[i - 1][j], tile, overlap_px)
+            if j > 0:
+                tile = blend_h(row[j - 1], tile, overlap_px)
+            result_row.append(tile[:, :, :stride_px, :stride_px])
+        result_rows.append(jnp.concatenate(result_row, axis=3))
+    out = jnp.concatenate(result_rows, axis=2)
+    return out[:, :, : h * spatial_scale, : w * spatial_scale]

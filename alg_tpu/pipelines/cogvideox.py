@@ -131,8 +131,10 @@ class CogVideoXPipeline:
         latents: Optional[np.ndarray] = None,
         prompt_embeds: Optional[jnp.ndarray] = None,
         negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        timesteps=None,
         max_sequence_length: int = 226,
         output_type: str = "pil",
+        step_observer: Optional[Callable] = None,
         # --- ALG kwargs (reference surface, :753-773) ---
         use_low_pass_guidance: bool = False,
         lp_filter_type: str = "none",
@@ -211,9 +213,10 @@ class CogVideoXPipeline:
 
         # ---- plans (all host-side, trace-time static)
         if self.scheduler == "dpm":
-            sched_plan = make_dpm_plan(self.scheduler_cfg, num_inference_steps)
+            sched_plan = make_dpm_plan(self.scheduler_cfg, num_inference_steps, timesteps)
         else:
-            sched_plan = make_ddim_plan(self.scheduler_cfg, num_inference_steps)
+            sched_plan = make_ddim_plan(self.scheduler_cfg, num_inference_steps, timesteps)
+        num_inference_steps = len(np.asarray(sched_plan.timesteps))
 
         lp_cfg = LPConfig(
             use_low_pass_guidance=use_low_pass_guidance and do_cfg,
@@ -293,6 +296,7 @@ class CogVideoXPipeline:
             pixel_image=pixel_image,
             pixel_vae_noise=pixel_vae_noise,
             patch_size_t=patch_size_t,
+            step_observer=step_observer,
         )
 
         if output_type == "latent":
@@ -321,6 +325,7 @@ class CogVideoXPipeline:
         pixel_image=None,
         pixel_vae_noise=None,
         patch_size_t=None,
+        step_observer=None,
     ):
         tcfg = self.transformer_cfg
         use_dpm = self.scheduler == "dpm"
@@ -448,12 +453,41 @@ class CogVideoXPipeline:
             "pixel_vae_noise": pixel_vae_noise,
             "ofs": ofs,
         }
+
+        if step_observer is not None:
+            # debug/monitoring path (reference callback_on_step_end,
+            # :1126-1134): host-stepped loop, one jitted step per pass-count;
+            # each step syncs to invoke the observer — slow by design
+            step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
+            step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
+
+            carry = (latents0, jnp.zeros_like(latents0))
+            for seg in lp_plan.segments:
+                f = step3 if (seg.three_pass and do_cfg and alg) else step2
+                for i in range(seg.start, seg.stop):
+                    carry = f(carry, i, data)
+                    step_observer(i, np.asarray(carry[0]))
+            return carry[0]
+
         return run(data)
 
-    def decode_latents(self, latents) -> jnp.ndarray:
-        """[B, F, C, h, w] → [B, F_pix, C, H, W] fp32 in [-1, 1] (:428-433)."""
+    def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:
+        """[B, F, C, h, w] → [B, F_pix, C, H, W] fp32 in [-1, 1] (:428-433).
+
+        ``vae_tiling``: None = auto (tile when the latent exceeds 48×48 —
+        whole-clip full-res decode activations don't fit HBM; replaces the
+        reference's enable_tiling/slicing)."""
+        from alg_tpu.models.vae_tiling import tiled_decode
+
         z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor
         z = z.transpose(0, 1, 3, 4, 2)  # → BFHWC
         fn = jax.jit(lambda params, z: cogvideox_vae_decode(params, self.vae_cfg, z))
-        frames = fn(self.vae_params, z)
+        if vae_tiling is None:
+            vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
+        if vae_tiling:
+            frames = tiled_decode(
+                lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale
+            )
+        else:
+            frames = fn(self.vae_params, z)
         return frames.transpose(0, 1, 4, 2, 3)  # → [B, F, C, H, W]

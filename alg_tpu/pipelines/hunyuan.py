@@ -201,6 +201,7 @@ class HunyuanVideoPipeline:
         negative_prompt_embeds: Optional[jnp.ndarray] = None,
         negative_pooled_prompt_embeds: Optional[jnp.ndarray] = None,
         negative_prompt_attention_mask: Optional[jnp.ndarray] = None,
+        prompt_template=DEFAULT_PROMPT_TEMPLATE,
         max_sequence_length: int = 256,
         image_embed_interleave: int = 2,
         output_type: str = "pil",
@@ -247,7 +248,8 @@ class HunyuanVideoPipeline:
         # ---- prompt embeds
         if prompt_embeds is None:
             prompt_embeds, pooled_prompt_embeds, prompt_attention_mask = self.encode_prompt(
-                image, prompt, prompt_2, max_sequence_length=max_sequence_length,
+                image, prompt, prompt_2, template=prompt_template,
+                max_sequence_length=max_sequence_length,
                 image_embed_interleave=image_embed_interleave,
             )
         batch_size = prompt_embeds.shape[0]
@@ -256,7 +258,8 @@ class HunyuanVideoPipeline:
 
             black = PILImage.new("RGB", (width, height), 0)
             negative_prompt_embeds, negative_pooled_prompt_embeds, negative_prompt_attention_mask = self.encode_prompt(
-                black, negative_prompt or "", None, max_sequence_length=max_sequence_length,
+                black, negative_prompt or "", None, template=prompt_template,
+                max_sequence_length=max_sequence_length,
                 image_embed_interleave=image_embed_interleave,
             )
 
@@ -463,8 +466,18 @@ class HunyuanVideoPipeline:
         }
         return run(data)
 
-    def decode_latents(self, latents) -> jnp.ndarray:
+    def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:
+        """Tiled above 48×48 latents (replaces the reference's enable_tiling
+        path, :601-628 — whole-clip 720p decode would hold ~30 GB)."""
+        from alg_tpu.models.vae_tiling import tiled_decode
+
         z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor
         z = z.transpose(0, 2, 3, 4, 1)
         fn = jax.jit(lambda p, z: hunyuan_vae_decode(p, self.vae_cfg, z))
-        return fn(self.vae_params, z).transpose(0, 4, 1, 2, 3)
+        if vae_tiling is None:
+            vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
+        if vae_tiling:
+            out = tiled_decode(lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale)
+        else:
+            out = fn(self.vae_params, z)
+        return out.transpose(0, 4, 1, 2, 3)

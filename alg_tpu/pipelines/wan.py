@@ -424,12 +424,20 @@ class WanPipeline:
         }
         return run(data)
 
-    def decode_latents(self, latents) -> jnp.ndarray:
-        """De-normalize + VAE decode (:948-960) → [B, C, F, H, W] in [-1,1]."""
-        lm = jnp.asarray(self.vae_cfg.latents_mean, jnp.float32).reshape(1, -1, 1, 1, 1)
-        ls = jnp.asarray(self.vae_cfg.latents_std, jnp.float32).reshape(1, -1, 1, 1, 1)
+    def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:
+        """De-normalize + VAE decode (:948-960) → [B, C, F, H, W] in [-1,1].
+        Tiled above 48×48 latents (replaces diffusers enable_tiling)."""
+        from alg_tpu.models.vae_tiling import tiled_decode
+
+        lm = jnp.asarray(np.asarray(self.vae_cfg.latents_mean, np.float32)).reshape(1, -1, 1, 1, 1)
+        ls = jnp.asarray(np.asarray(self.vae_cfg.latents_std, np.float32)).reshape(1, -1, 1, 1, 1)
         z = latents.astype(jnp.float32) * ls + lm
         z = z.transpose(0, 2, 3, 4, 1)  # BFHWC
         fn = jax.jit(lambda params, z: wan_vae_decode(params, self.vae_cfg, z))
-        frames = fn(self.vae_params, z)
+        if vae_tiling is None:
+            vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
+        if vae_tiling:
+            frames = tiled_decode(lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale)
+        else:
+            frames = fn(self.vae_params, z)
         return frames.transpose(0, 4, 1, 2, 3)

@@ -93,9 +93,17 @@ class CogVideoXDDIMPlan:
     init_noise_sigma: float = 1.0
 
 
-def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> CogVideoXDDIMPlan:
+def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int, timesteps=None) -> CogVideoXDDIMPlan:
+    """``timesteps``: optional custom descending grid (reference
+    retrieve_timesteps custom-timesteps path, ...cogvideox...py:95-151)."""
     ac = make_alphas_cumprod(cfg)
-    ts = make_timesteps(cfg, num_inference_steps)
+    if timesteps is not None:
+        import numpy as _np
+
+        ts = _np.asarray(timesteps, dtype=_np.int64)
+        num_inference_steps = len(ts)
+    else:
+        ts = make_timesteps(cfg, num_inference_steps)
     final_alpha = 1.0 if cfg.set_alpha_to_one else float(ac[0])
 
     prev_ts = ts - cfg.num_train_timesteps // num_inference_steps

@@ -47,9 +47,13 @@ class CogVideoXDPMPlan:
     init_noise_sigma: float = 1.0
 
 
-def make_dpm_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> CogVideoXDPMPlan:
+def make_dpm_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int, timesteps=None) -> CogVideoXDPMPlan:
     ac = make_alphas_cumprod(cfg)
-    ts = make_timesteps(cfg, num_inference_steps)
+    if timesteps is not None:
+        ts = np.asarray(timesteps, dtype=np.int64)
+        num_inference_steps = len(ts)
+    else:
+        ts = make_timesteps(cfg, num_inference_steps)
     final_alpha = 1.0 if cfg.set_alpha_to_one else float(ac[0])
 
     prev_ts = ts - cfg.num_train_timesteps // num_inference_steps

@@ -181,6 +181,26 @@ def test_vae_single_frame():
     assert rec.shape == (1, 1, 32, 32, 3)
 
 
+def test_tiled_decode_matches_whole():
+    """Tiled decode must match the whole-clip decode away from tile seams and
+    stay close at the blended seams (diffusers-equivalent assembly)."""
+    from alg_tpu.models.vae_tiling import tiled_decode
+
+    cfg = _tiny_vae_cfg()
+    params = init_cogvideox_vae(jax.random.PRNGKey(1), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 12, 16, 4))
+    fn = jax.jit(lambda p, zt: cogvideox_vae_decode(p, cfg, zt))
+    whole = np.asarray(fn(params, z))
+    tiled = np.asarray(
+        tiled_decode(lambda zt: fn(params, zt), z, cfg.spatial_scale, tile_latent=8, stride_latent=6)
+    )
+    assert tiled.shape == whole.shape
+    # interiors of tiles match exactly; seams blend (bounded difference)
+    diff = np.abs(tiled - whole)
+    assert diff.mean() < 0.15, diff.mean()
+    assert np.isfinite(tiled).all()
+
+
 def test_causal_conv_and_pool_are_temporally_causal():
     """The conv/pool primitives must be strictly causal (frame t sees only
     frames ≤ t). The full encoder is *not* strictly causal — GroupNorm couples
