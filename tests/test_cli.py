@@ -1,0 +1,124 @@
+"""End-to-end CLI test: fake HF checkpoint → run.py → video file.
+
+Exercises the entire real loading path (configs → safetensors → converters →
+tokenizer → pipeline → encode) with the reference CLI surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt") / "TinyCogVideoX"
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_tiny_checkpoint
+
+    make_tiny_checkpoint.build(str(root))
+    return str(root)
+
+
+def test_load_pipeline_from_checkpoint(tiny_ckpt):
+    import jax.numpy as jnp
+
+    from alg_tpu.io.model_zoo import load_cogvideox_pipeline
+
+    pipe = load_cogvideox_pipeline(tiny_ckpt, dtype=jnp.float32)
+    assert pipe.scheduler == "ddim"
+    assert pipe.tokenize is not None
+    video = pipe(
+        image=np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1,
+        prompt="a red bus",
+        negative_prompt="",
+        height=32,
+        width=32,
+        num_frames=5,
+        num_inference_steps=2,
+        guidance_scale=6.0,
+        max_sequence_length=16,
+        seed=42,
+        output_type="np",
+    )
+    assert video.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
+def test_cli_end_to_end(tiny_ckpt, tmp_path):
+    """Full `run.py` invocation with the reference flag surface."""
+    from PIL import Image
+
+    img_path = tmp_path / "input.png"
+    Image.fromarray((np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(
+        f"""
+model:
+  path: "{tiny_ckpt}"
+  dtype: "float32"
+
+generation:
+  height: 32
+  width: 32
+  num_frames: 5
+  num_inference_steps: 2
+  guidance_scale: 6.0
+  max_sequence_length: 16
+
+alg:
+  use_low_pass_guidance: True
+  lp_filter_type: "down_up"
+  lp_filter_in_latent: True
+  lp_resize_factor: 0.25
+  lp_strength_schedule_type: "interval"
+  schedule_interval_start_time: 0.0
+  schedule_interval_end_time: 0.5
+
+video:
+  fps: 8
+"""
+    )
+    out_path = tmp_path / "out.mp4"
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_tpu_cache")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "run.py",
+            "--config",
+            str(cfg_path),
+            "--image_path",
+            str(img_path),
+            "--prompt",
+            "a red double decker bus driving down the street",
+            "--output_path",
+            str(out_path),
+        ],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=560,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    # no ffmpeg in this environment → GIF fallback
+    written = out_path if out_path.exists() else tmp_path / "out.gif"
+    assert written.exists() and written.stat().st_size > 0
+    assert "Run complete" in proc.stdout
+
+    # CLI quirk parity: the reference dispatches on path substring — a path
+    # without a known family must fail clearly
+    bad_cfg = tmp_path / "bad.yaml"
+    bad_cfg.write_text('model:\n  path: "nonexistent/Model"\n  dtype: "float32"\nvideo:\n  fps: 8\n')
+    proc2 = subprocess.run(
+        [sys.executable, "run.py", "--config", str(bad_cfg), "--image_path", str(img_path),
+         "--prompt", "x", "--output_path", str(tmp_path / "x.mp4")],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc2.returncode != 0
