@@ -256,6 +256,7 @@ def load_hunyuan_pipeline(
         latent_channels=vc.get("latent_channels", 16),
         block_out_channels=tuple(vc.get("block_out_channels", (128, 256, 512, 512))),
         layers_per_block=vc.get("layers_per_block", 2),
+        norm_num_groups=vc.get("norm_num_groups", 32),
         scaling_factor=vc.get("scaling_factor", 0.476986),
         temporal_compression_ratio=vc.get("temporal_compression_ratio", 4),
     )

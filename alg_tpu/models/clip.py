@@ -144,22 +144,34 @@ def clip_vision_hidden_states(params, cfg: CLIPVisionConfig, pixel_values: jnp.n
 
 
 def clip_preprocess(image, size: int = 224) -> np.ndarray:
-    """PIL image → CLIP pixel_values [1, 3, size, size] (resize shortest edge
-    bicubic, center crop, rescale, normalize)."""
+    """Image → CLIP pixel_values [1, 3, size, size] (resize shortest edge
+    bicubic, center crop, rescale, normalize — CLIPImageProcessor defaults).
+
+    Accepts PIL images or arrays ([H,W,C] / [C,H,W] / [B,C,H,W] in [0,1] or
+    [-1,1] or uint8) — arrays are round-tripped through PIL for the resize."""
     from PIL import Image
 
-    if isinstance(image, Image.Image):
-        w, h = image.size
-        scale = size / min(w, h)
-        image = image.resize((round(w * scale), round(h * scale)), resample=Image.BICUBIC)
-        w, h = image.size
-        left, top = (w - size) // 2, (h - size) // 2
-        image = image.crop((left, top, left + size, top + size))
-        arr = np.asarray(image.convert("RGB")).astype(np.float32) / 255.0
-    else:
+    if not isinstance(image, Image.Image):
         arr = np.asarray(image, np.float32)
+        if arr.ndim == 4:
+            arr = arr[0]
+        if arr.ndim == 3 and arr.shape[0] in (1, 3):
+            arr = arr.transpose(1, 2, 0)
+        if arr.min() < -0.01:  # [-1, 1] convention
+            arr = arr / 2.0 + 0.5
+        if arr.max() <= 1.5:
+            arr = arr * 255.0
+        image = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+
+    w, h = image.size
+    scale = size / min(w, h)
+    image = image.resize((round(w * scale), round(h * scale)), resample=Image.BICUBIC)
+    w, h = image.size
+    left, top = (w - size) // 2, (h - size) // 2
+    image = image.crop((left, top, left + size, top + size))
+    arr = np.asarray(image.convert("RGB")).astype(np.float32) / 255.0
     arr = (arr - np.array(CLIP_IMAGE_MEAN)) / np.array(CLIP_IMAGE_STD)
-    return arr.transpose(2, 0, 1)[None]
+    return arr.transpose(2, 0, 1)[None].astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

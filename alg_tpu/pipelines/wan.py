@@ -99,7 +99,7 @@ class WanPipeline:
         prompts = [prompt_clean(p) for p in prompts]
         ids, mask = self.tokenize(prompts, max_sequence_length)
         fn = jax.jit(lambda params, i, m: t5_encode(params, self.t5_cfg, i, m))
-        embeds = np.asarray(fn(self.t5_params, jnp.asarray(ids), jnp.asarray(mask)))
+        embeds = np.array(fn(self.t5_params, jnp.asarray(ids), jnp.asarray(mask)))
         seq_lens = mask.sum(axis=1)
         for b, n in enumerate(seq_lens):
             embeds[b, n:] = 0.0

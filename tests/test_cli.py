@@ -47,6 +47,72 @@ def test_load_pipeline_from_checkpoint(tiny_ckpt):
     assert np.isfinite(video).all()
 
 
+def test_load_wan_pipeline_from_checkpoint(tmp_path_factory):
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_tiny_checkpoint
+
+    from alg_tpu.io.model_zoo import load_wan_pipeline
+
+    root = str(tmp_path_factory.mktemp("ckpt") / "TinyWan")
+    make_tiny_checkpoint.build_wan(root)
+    pipe = load_wan_pipeline(root, dtype=jnp.float32, flow_shift=5.0)
+    video = pipe(
+        image=np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1,
+        prompt="a red bus driving",
+        negative_prompt="",
+        height=32,
+        width=32,
+        num_frames=5,
+        num_inference_steps=2,
+        guidance_scale=5.0,
+        max_sequence_length=16,
+        seed=42,
+        output_type="np",
+    )
+    assert video.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
+def test_load_hunyuan_pipeline_from_checkpoint(tmp_path_factory):
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_tiny_checkpoint
+
+    from alg_tpu.io.model_zoo import load_hunyuan_pipeline
+
+    root = str(tmp_path_factory.mktemp("ckpt") / "TinyHunyuanVideo")
+    make_tiny_checkpoint.build_hunyuan(root)
+    pipe = load_hunyuan_pipeline(root, dtype=jnp.float32, flow_shift=7.0)
+    rng = np.random.RandomState(0)
+    video = pipe(
+        image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1,
+        prompt_embeds=np.asarray(rng.randn(1, 7, 16), np.float32),
+        pooled_prompt_embeds=np.asarray(rng.randn(1, 8), np.float32),
+        prompt_attention_mask=np.ones((1, 7), np.int32),
+        height=32,
+        width=32,
+        num_frames=5,
+        num_inference_steps=2,
+        guidance_scale=6.0,
+        true_cfg_scale=1.0,
+        i2v_stable=True,
+        seed=42,
+        output_type="np",
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.625,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.5,
+    )
+    assert video.shape == (1, 5, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
 def test_cli_end_to_end(tiny_ckpt, tmp_path):
     """Full `run.py` invocation with the reference flag surface."""
     from PIL import Image
