@@ -156,6 +156,14 @@ class CogVideoXPipeline:
         width = width or tcfg.sample_width * self.vae_scale_factor_spatial
         num_frames = num_frames or 49
 
+        # check_inputs (reference :463-524): H, W must divide the VAE factor
+        if height % 8 != 0 or width % 8 != 0:
+            raise ValueError(f"height and width must be divisible by 8 but are {height} and {width}.")
+        if image is None:
+            raise ValueError("Provide an input image (I2V pipelines condition on it).")
+        if prompt is None and prompt_embeds is None:
+            raise ValueError("Provide prompt or prompt_embeds.")
+
         do_cfg = guidance_scale > 1.0
         noise = noise_source or NoiseSource(seed=seed)
 

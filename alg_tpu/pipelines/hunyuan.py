@@ -226,6 +226,17 @@ class HunyuanVideoPipeline:
         assert not enable_lp_img_embeds, (
             "Low-pass filter on image embeds is not supported in HunyuanVideo pipeline."
         )
+        # check_inputs (reference :494-548)
+        if height % 16 != 0 or width % 16 != 0:
+            raise ValueError(f"height and width must be divisible by 16 but are {height} and {width}.")
+        if true_cfg_scale > 1.0 and guidance_scale > 1.0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Both true_cfg_scale > 1 and guidance_scale > 1 — distilled "
+                "guidance and true CFG are active simultaneously (reference "
+                "warns the same, :543-548)."
+            )
         do_true_cfg = true_cfg_scale > 1.0
         noise = noise_source or NoiseSource(seed=seed)
 

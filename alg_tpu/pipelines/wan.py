@@ -150,6 +150,12 @@ class WanPipeline:
         schedule_linear_end_time: float = 1.0,
         schedule_exp_decay_rate: float = 5.0,
     ):
+        # check_inputs (reference :318-370): H, W must divide 16
+        if height % 16 != 0 or width % 16 != 0:
+            raise ValueError(f"height and width must be divisible by 16 but are {height} and {width}.")
+        if prompt is None and prompt_embeds is None:
+            raise ValueError("Provide prompt or prompt_embeds.")
+
         do_cfg = guidance_scale > 1.0
         noise = noise_source or NoiseSource(seed=seed)
 
