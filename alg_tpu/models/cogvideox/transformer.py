@@ -150,29 +150,43 @@ def cogvideox_rope(
     """(cos, sin) ``[S_video, head_dim]`` fp32 tables for the video tokens.
 
     Axis split: dim_t = d/4, dim_h = dim_w = 3d/8; angles repeated pairwise
-    (interleaved convention). Spatial positions come from the centered crop of
-    the (sample_height/p, sample_width/p) base grid, matching the reference's
-    ``_prepare_rotary_positional_embeddings`` for CogVideoX-1.0.
+    (interleaved convention). Spatial positions follow the reference's
+    ``_prepare_rotary_positional_embeddings``: CogVideoX-1.0 uses the centered
+    crop of the (sample_height/p, sample_width/p) base grid ("crop"
+    grid_type); CogVideoX-1.5 (``patch_size_t`` set) slices the leading
+    positions of the max grid ("slice").
     """
     d = cfg.attention_head_dim
     p = cfg.patch_size
     grid_h, grid_w = height // (8 * p), width // (8 * p)
     base_h, base_w = cfg.sample_height // p, cfg.sample_width // p
-    (top, left), (bottom, right) = _resize_crop_region_for_grid(grid_h, grid_w, base_h, base_w)
 
     dim_t = d // 4
     dim_h = d // 8 * 3
     dim_w = d // 8 * 3
 
-    t_pos = np.arange(num_latent_frames, dtype=np.float64)
-    h_pos = np.linspace(top, bottom, grid_h, endpoint=False, dtype=np.float64)
-    w_pos = np.linspace(left, right, grid_w, endpoint=False, dtype=np.float64)
+    # temporal grid is over *temporal patches*: ceil(F / patch_size_t)
+    # (diffusers base_num_frames; pt=1 for CogVideoX-1.0)
+    pt = cfg.patch_size_t or 1
+    f = (num_latent_frames + pt - 1) // pt
+    t_pos = np.arange(f, dtype=np.float64)
+    if cfg.patch_size_t is None:
+        # 1.0: "crop" — positions from the centered crop region
+        (top, left), (bottom, right) = _resize_crop_region_for_grid(
+            grid_h, grid_w, base_h, base_w
+        )
+        h_pos = np.linspace(top, bottom, grid_h, endpoint=False, dtype=np.float64)
+        w_pos = np.linspace(left, right, grid_w, endpoint=False, dtype=np.float64)
+    else:
+        # 1.5: "slice" — the first grid_h/grid_w rows/cols of the max grid
+        h_pos = np.arange(grid_h, dtype=np.float64)
+        w_pos = np.arange(grid_w, dtype=np.float64)
 
     ang_t = R.rope_frequencies(dim_t, t_pos, cfg.rope_theta)  # [F, dim_t/2]
     ang_h = R.rope_frequencies(dim_h, h_pos, cfg.rope_theta)
     ang_w = R.rope_frequencies(dim_w, w_pos, cfg.rope_theta)
 
-    f, hh, ww = num_latent_frames, grid_h, grid_w
+    hh, ww = grid_h, grid_w
     at = np.broadcast_to(ang_t[:, None, None, :], (f, hh, ww, ang_t.shape[-1]))
     ah = np.broadcast_to(ang_h[None, :, None, :], (f, hh, ww, ang_h.shape[-1]))
     aw = np.broadcast_to(ang_w[None, None, :, :], (f, hh, ww, ang_w.shape[-1]))

@@ -47,6 +47,37 @@ def test_load_pipeline_from_checkpoint(tiny_ckpt):
     assert np.isfinite(video).all()
 
 
+def test_load_cogvideox_1_5_pipeline_from_checkpoint(tmp_path_factory):
+    """CogVideoX-1.5 layout: patch_size_t=2 (temporal patching, linear patch
+    embed, slice-mode rope). Exercises the latent-frame front-padding path
+    (9 frames -> 3 latent frames -> padded to 4)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_tiny_checkpoint
+
+    from alg_tpu.io.model_zoo import load_cogvideox_pipeline
+
+    root = str(tmp_path_factory.mktemp("ckpt") / "TinyCogVideoX1.5")
+    make_tiny_checkpoint.build(root, patch_size_t=2)
+    pipe = load_cogvideox_pipeline(root, dtype=jnp.float32)
+    video = pipe(
+        image=np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1,
+        prompt="a red bus",
+        negative_prompt="",
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=2,
+        guidance_scale=6.0,
+        max_sequence_length=16,
+        seed=42,
+        output_type="np",
+    )
+    assert video.shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(video).all()
+
+
 def test_load_wan_pipeline_from_checkpoint(tmp_path_factory):
     import jax.numpy as jnp
 

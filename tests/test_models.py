@@ -6,6 +6,7 @@ validates both the architecture and the checkpoint name-mapping. The video
 models are validated structurally (shapes, temporal causality, jit).
 """
 
+import dataclasses
 import numpy as np
 import pytest
 import torch
@@ -133,6 +134,20 @@ def test_cogvideox_transformer_shapes_and_jit():
     # timestep must modulate the output
     out2 = fn(params, x, txt, jnp.array([10.0, 10.0]))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_cogvideox_rope_slice_mode_for_1_5():
+    """patch_size_t set (CogVideoX-1.5) → 'slice' grid: plain arange
+    positions instead of the centered-crop linspace."""
+    cfg_10 = _tiny_dit_cfg()
+    cfg_15 = dataclasses.replace(cfg_10, patch_size_t=2)
+    cos10, _ = cogvideox_rope(cfg_10, 32, 48, 4)
+    cos15, _ = cogvideox_rope(cfg_15, 32, 48, 4)
+    # 1.0: one rope row per latent frame; 1.5: one per temporal *patch*
+    assert cos10.shape == (4 * 2 * 3, 16)
+    assert cos15.shape == (2 * 2 * 3, 16)
+    # the spatial grids differ whenever the crop region is offset from origin
+    assert not np.allclose(cos10[: 2 * 3], cos15[: 2 * 3])
 
 
 def test_cogvideox_transformer_text_conditioning():

@@ -29,7 +29,7 @@ def _w(rng, *shape, scale=0.05):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
-def make_transformer(root: str, rng) -> dict:
+def make_transformer(root: str, rng, patch_size_t=None) -> dict:
     cfg = {
         "num_attention_heads": 2,
         "attention_head_dim": 16,
@@ -43,15 +43,21 @@ def make_transformer(root: str, rng) -> dict:
         "sample_height": 8,
         "sample_frames": 9,
         "patch_size": 2,
-        "patch_size_t": None,
+        "patch_size_t": patch_size_t,
         "max_text_seq_length": 16,
         "norm_eps": 1e-5,
         "use_rotary_positional_embeddings": True,
     }
     dim = cfg["num_attention_heads"] * cfg["attention_head_dim"]
     te = cfg["time_embed_dim"]
+    pt = patch_size_t or 1
+    # 1.0 ships a conv2d patch embed [dim, C, p, p]; 1.5 a linear over C*pt*p*p
+    if patch_size_t is None:
+        pe_w = _w(rng, dim, cfg["in_channels"], 2, 2)
+    else:
+        pe_w = _w(rng, dim, cfg["in_channels"] * pt * 2 * 2)
     st = {
-        "patch_embed.proj.weight": _w(rng, dim, cfg["in_channels"], 2, 2),
+        "patch_embed.proj.weight": pe_w,
         "patch_embed.proj.bias": _w(rng, dim),
         "patch_embed.text_proj.weight": _w(rng, dim, cfg["text_embed_dim"]),
         "patch_embed.text_proj.bias": _w(rng, dim),
@@ -65,8 +71,8 @@ def make_transformer(root: str, rng) -> dict:
         "norm_out.linear.bias": _w(rng, 2 * dim),
         "norm_out.norm.weight": np.ones(dim, np.float32),
         "norm_out.norm.bias": np.zeros(dim, np.float32),
-        "proj_out.weight": _w(rng, 2 * 2 * cfg["out_channels"], dim),
-        "proj_out.bias": _w(rng, 2 * 2 * cfg["out_channels"]),
+        "proj_out.weight": _w(rng, pt * 2 * 2 * cfg["out_channels"], dim),
+        "proj_out.bias": _w(rng, pt * 2 * 2 * cfg["out_channels"]),
     }
     for i in range(cfg["num_layers"]):
         b = f"transformer_blocks.{i}"
@@ -249,10 +255,10 @@ def make_scheduler(root: str) -> None:
         )
 
 
-def build(root: str, seed: int = 0) -> None:
+def build(root: str, seed: int = 0, patch_size_t=None) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
-    make_transformer(root, rng)
+    make_transformer(root, rng, patch_size_t=patch_size_t)
     make_vae(root, rng)
     make_text_encoder(root, rng)
     make_tokenizer(root)
