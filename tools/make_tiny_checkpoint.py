@@ -48,6 +48,9 @@ def make_transformer(root: str, rng, patch_size_t=None) -> dict:
         "norm_eps": 1e-5,
         "use_rotary_positional_embeddings": True,
     }
+    if patch_size_t is not None:
+        # 1.5-I2V also carries the ofs conditioning embedding
+        cfg["ofs_embed_dim"] = cfg["time_embed_dim"]
     dim = cfg["num_attention_heads"] * cfg["attention_head_dim"]
     te = cfg["time_embed_dim"]
     pt = patch_size_t or 1
@@ -74,6 +77,11 @@ def make_transformer(root: str, rng, patch_size_t=None) -> dict:
         "proj_out.weight": _w(rng, pt * 2 * 2 * cfg["out_channels"], dim),
         "proj_out.bias": _w(rng, pt * 2 * 2 * cfg["out_channels"]),
     }
+    if patch_size_t is not None:
+        st["ofs_embedding.linear_1.weight"] = _w(rng, te, te)
+        st["ofs_embedding.linear_1.bias"] = _w(rng, te)
+        st["ofs_embedding.linear_2.weight"] = _w(rng, te, te)
+        st["ofs_embedding.linear_2.bias"] = _w(rng, te)
     for i in range(cfg["num_layers"]):
         b = f"transformer_blocks.{i}"
         for nm in ("norm1", "norm2"):
