@@ -16,6 +16,7 @@ reference used for parity tests and CPU execution.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -75,6 +76,86 @@ def set_attention_impl(impl: Optional[str]) -> None:
     _IMPL_OVERRIDE = impl
 
 
+# -- multi-chip: shard_map'd attention ---------------------------------------
+#
+# GSPMD cannot partition a Pallas custom call, so multi-chip runs would
+# otherwise silently fall back to unfused XLA attention exactly where the
+# perf target needs chips (VERDICT r1 #4). Attention is embarrassingly
+# parallel over (batch, head): under Megatron-style TP the qkv projections
+# are column-parallel, so q/k/v arrive head-sharded and the fused kernel can
+# run purely locally inside a shard_map — no collectives.
+
+_MESH_CTX = None  # (mesh, batch_axis, head_axis)
+
+
+def set_attention_mesh(mesh, batch_axis: str = "dp", head_axis: str = "tp") -> None:
+    """Route subsequent attention calls through ``shard_map`` over ``mesh``.
+
+    Batch shards over ``batch_axis``, heads over ``head_axis``; each shard
+    runs the fused Pallas kernel (TPU meshes) or the XLA reference (CPU
+    meshes) on its local ``[B/dp, H/tp, S, D]`` slab. Pass ``None`` to clear.
+    """
+    global _MESH_CTX
+    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis)
+
+
+def get_attention_mesh():
+    return _MESH_CTX
+
+
+@contextlib.contextmanager
+def attention_mesh_scope(mesh, batch_axis: str = "dp", head_axis: str = "tp"):
+    """Scoped :func:`set_attention_mesh` — active only while tracing the
+    sampler's DiT, so text/image encoders (whose batches don't live on the
+    mesh) keep the ordinary single-device dispatch."""
+    global _MESH_CTX
+    prev = _MESH_CTX
+    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis)
+    try:
+        yield
+    finally:
+        _MESH_CTX = prev
+
+
+def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ba, ha = _MESH_CTX
+    dp = mesh.shape[ba] if ba in mesh.shape else 1
+    tp = mesh.shape[ha] if ha in mesh.shape else 1
+    b, h = q.shape[0], q.shape[1]
+    if b % dp != 0 or h % tp != 0:
+        raise ValueError(
+            f"attention mesh needs batch%dp==0 and heads%tp==0; got batch {b} "
+            f"over dp={dp}, heads {h} over tp={tp}"
+        )
+    platform = mesh.devices.flat[0].platform
+    use_pallas = platform in ("tpu", "axon") and _IMPL_OVERRIDE != "xla"
+
+    qkv_spec = P(ba, ha, None, None)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    args = [q, k, v]
+    if kv_len is not None:
+        in_specs.append(P(ba))
+        args.append(kv_len)
+
+    def local(q, k, v, kv_len=None):
+        if use_pallas:
+            return flash_attention(
+                q, k, v, scale=scale, causal=causal, kv_len=kv_len, stable=stable
+            )
+        return _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=qkv_spec,
+    )
+    return fn(*args)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -97,6 +178,8 @@ def attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if _MESH_CTX is not None and impl == "auto" and bias is None:
+        return _shard_map_attention(q, k, v, scale, causal, kv_len, stable)
     if impl == "auto":
         if _IMPL_OVERRIDE is not None:
             impl = _IMPL_OVERRIDE

@@ -77,6 +77,9 @@ class CogVideoXPipeline:
     scheduler: str = "ddim"  # "ddim" | "dpm"
     scheduler_cfg: CogVideoXDDIMConfig = dataclasses.field(default_factory=CogVideoXDDIMConfig)
     dtype: Any = jnp.float32
+    # multi-chip: mesh for shard_map'd fused attention inside the sampler
+    # (set by serving.shard_pipeline; see alg_tpu.ops.attention)
+    attn_mesh: Any = None
 
     @property
     def vae_scale_factor_spatial(self) -> int:
@@ -462,22 +465,32 @@ class CogVideoXPipeline:
             "ofs": ofs,
         }
 
-        if step_observer is not None:
-            # debug/monitoring path (reference callback_on_step_end,
-            # :1126-1134): host-stepped loop, one jitted step per pass-count;
-            # each step syncs to invoke the observer — slow by design
-            step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
-            step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
+        import contextlib
 
-            carry = (latents0, jnp.zeros_like(latents0))
-            for seg in lp_plan.segments:
-                f = step3 if (seg.three_pass and do_cfg and alg) else step2
-                for i in range(seg.start, seg.stop):
-                    carry = f(carry, i, data)
-                    step_observer(i, np.asarray(carry[0]))
-            return carry[0]
+        from alg_tpu.ops.attention import attention_mesh_scope
 
-        return run(data)
+        ctx = (
+            attention_mesh_scope(self.attn_mesh)
+            if self.attn_mesh is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            if step_observer is not None:
+                # debug/monitoring path (reference callback_on_step_end,
+                # :1126-1134): host-stepped loop, one jitted step per pass-count;
+                # each step syncs to invoke the observer — slow by design
+                step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
+                step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
+
+                carry = (latents0, jnp.zeros_like(latents0))
+                for seg in lp_plan.segments:
+                    f = step3 if (seg.three_pass and do_cfg and alg) else step2
+                    for i in range(seg.start, seg.stop):
+                        carry = f(carry, i, data)
+                        step_observer(i, np.asarray(carry[0]))
+                return carry[0]
+
+            return run(data)
 
     def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:
         """[B, F, C, h, w] → [B, F_pix, C, H, W] fp32 in [-1, 1] (:428-433).

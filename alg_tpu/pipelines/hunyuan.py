@@ -30,6 +30,7 @@ quirk 2.5a, unreachable) — here the preprocessed tensor is used instead.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional, Sequence, Union
 
 import numpy as np
@@ -87,6 +88,8 @@ class HunyuanVideoPipeline:
         default_factory=lambda: FlowMatchEulerConfig(shift=7.0, invert_sigmas=False)
     )
     dtype: Any = jnp.float32
+    # multi-chip: mesh for shard_map'd fused attention inside the sampler
+    attn_mesh: Any = None
 
     @property
     def vae_scale_factor_spatial(self) -> int:
@@ -97,6 +100,17 @@ class HunyuanVideoPipeline:
         return self.vae_cfg.temporal_compression_ratio
 
     # -- prompt encoding -----------------------------------------------------
+
+    @functools.cached_property
+    def _llava_forward(self):
+        """Jitted Llava forward returning ``hidden_states[-3]`` (reference
+        :348-352). Cached on the pipeline so repeated prompts reuse one trace."""
+        cfg = self.llava_cfg
+        return jax.jit(
+            lambda p, ids, px, m, pos: llava_hidden_states(
+                p, cfg, ids, px, attention_mask=m, position_ids=pos
+            )[-3]
+        )
 
     def _get_llama_prompt_embeds(self, image, prompt, template, max_sequence_length=256, image_embed_interleave=2):
         """Reference ``:282-419``: template+image through Llava, crop the
@@ -131,19 +145,17 @@ class HunyuanVideoPipeline:
         exp_mask = (expanded != cfg.pad_token_id).astype(np.int64)
         position_ids = np.maximum(np.cumsum(exp_mask, axis=-1) - 1, 0)
 
-        fn = jax.jit(
-            lambda p, i, px, pos, kl: llava_hidden_states(p, cfg, i, px, attention_mask=None, position_ids=pos)[-3],
-            static_argnames=(),
-        )
+        # one compiled Llava forward (32-layer Llama at real scale — an eager
+        # op-by-op dispatch here costs seconds per run on the axon tunnel);
+        # shapes are fixed by max_len, so repeated prompts reuse the trace
         hidden = np.asarray(
-            llava_hidden_states(
+            self._llava_forward(
                 self.llava_params,
-                cfg,
                 jnp.asarray(expanded),
                 jnp.asarray(np.repeat(pixels, b, 0)),
-                attention_mask=jnp.asarray(exp_mask),
-                position_ids=jnp.asarray(position_ids),
-            )[-3]
+                jnp.asarray(exp_mask),
+                jnp.asarray(position_ids),
+            )
         )
 
         # crop bookkeeping (reference :355-405)
@@ -222,10 +234,21 @@ class HunyuanVideoPipeline:
         schedule_exp_decay_rate: float = 5.0,
         lp_on_noisy_latent: bool = False,
         enable_lp_img_embeds: bool = False,
+        image_condition_type: str = "token_replace",
     ):
         assert not enable_lp_img_embeds, (
             "Low-pass filter on image embeds is not supported in HunyuanVideo pipeline."
         )
+        if image_condition_type not in ("token_replace", "latent_concat"):
+            raise ValueError(f"Unknown image_condition_type: {image_condition_type!r}")
+        # Faithful-quirk policy (SURVEY 2.5c): the reference's latent_concat
+        # assembly concatenates frames (dim 2) for every branch and would feed
+        # a (2z+1)-channel model z channels — it cannot run. We implement the
+        # working channel-concat semantics of the upstream variant instead:
+        # [latents ⧺ cond-latents ⧺ mask] on channels (mask from reference
+        # :1069-1070, there built but unused), full scheduler step (no
+        # token-replace re-pinning, :1263-1270), first-4-pixel-frame decode
+        # drop (:1293-1294), first-latent-frame drop for latent output.
         # check_inputs (reference :494-548)
         if height % 16 != 0 or width % 16 != 0:
             raise ValueError(f"height and width must be divisible by 16 but are {height} and {width}.")
@@ -286,6 +309,21 @@ class HunyuanVideoPipeline:
         if i2v_stable:
             latents0 = latents0 * 0.999 + jnp.broadcast_to(image_latents, latents0.shape) * (1 - 0.999)
 
+        cond_mask = None
+        if image_condition_type == "latent_concat":
+            # condition = image latent on frame 0, zeros after; mask marks the
+            # conditioned frame (reference :1069-1070; diffusers semantics)
+            zpad = jnp.zeros((batch_size, zc, f_lat - 1, h_lat, w_lat), image_latents.dtype)
+            image_latents = jnp.concatenate([image_latents, zpad], axis=2)
+            cond_mask = np.zeros((batch_size, 1, f_lat, h_lat, w_lat), np.float32)
+            cond_mask[:, :, 0] = 1.0
+            expect_in = 2 * zc + 1
+            if self.transformer_cfg.in_channels != expect_in:
+                raise ValueError(
+                    f"latent_concat needs a transformer with in_channels "
+                    f"{expect_in} (2·z+1), got {self.transformer_cfg.in_channels}"
+                )
+
         # ---- plans
         sig = np.linspace(1.0, 0.0, num_inference_steps + 1)[:-1] if sigmas is None else np.asarray(sigmas)
         sched_plan = make_flow_match_euler_plan(self.scheduler_cfg, sigmas=sig)
@@ -338,11 +376,17 @@ class HunyuanVideoPipeline:
             guidance,
             lp_on_noisy_latent,
             pixel_image,
+            image_condition_type=image_condition_type,
+            cond_mask=cond_mask,
         )
 
         if output_type == "latent":
+            if image_condition_type == "latent_concat":
+                latents_out = latents_out[:, :, 1:]
             return np.asarray(latents_out)
         video = self.decode_latents(latents_out)  # [B,C,F,H,W]
+        if image_condition_type == "latent_concat":
+            video = video[:, :, 4:]  # reference :1293-1294
         return processing.postprocess_video(np.asarray(video).transpose(0, 2, 1, 3, 4), output_type)
 
     # -- sampler ---------------------------------------------------------------
@@ -364,10 +408,14 @@ class HunyuanVideoPipeline:
         guidance,
         lp_on_noisy_latent,
         pixel_image,
+        image_condition_type: str = "token_replace",
+        cond_mask=None,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
         pixel_mode = pixel_image is not None
+        latent_concat = image_condition_type == "latent_concat"
+        mask_np = None if cond_mask is None else np.asarray(cond_mask, np.float32)
         batch = latents0.shape[0]
         f_lat, h_lat, w_lat = latents0.shape[2:]
         rope_cos, rope_sin = hunyuan_rope(tcfg, f_lat, h_lat, w_lat)
@@ -397,6 +445,12 @@ class HunyuanVideoPipeline:
             rgb = apply_filter_matrices(data["pixel_image"], mh, mw)
             mean, _ = hunyuan_vae_encode(data["vae_params"], self.vae_cfg, rgb.transpose(0, 1, 3, 4, 2))
             z = mean.transpose(0, 4, 1, 2, 3) * self.vae_cfg.scaling_factor
+            if latent_concat:
+                il = data["image_latents"]
+                z = jnp.concatenate(
+                    [z, jnp.zeros(z.shape[:2] + (il.shape[2] - z.shape[2],) + z.shape[3:], z.dtype)],
+                    axis=2,
+                )
             return z.astype(data["image_latents"].dtype)
 
         def dit(tparams, lat_in, embeds, mask, pool, t):
@@ -414,6 +468,20 @@ class HunyuanVideoPipeline:
             )
             return out.astype(jnp.float32)
 
+        def assemble(lat_in, img_cond):
+            """Model input from (possibly replicated) latents + conditioning.
+
+            token_replace: conditioning latent replaces frame 0 (temporal
+            concat, reference :1171,:1192,:1232). latent_concat: channels =
+            [latents ⧺ cond ⧺ mask] (the working upstream-variant semantics;
+            see __call__ docnote)."""
+            if latent_concat:
+                m = jnp.broadcast_to(
+                    jnp.asarray(mask_np), (lat_in.shape[0],) + mask_np.shape[1:]
+                ).astype(lat_in.dtype)
+                return jnp.concatenate([lat_in, img_cond, m], axis=1)
+            return jnp.concatenate([img_cond, lat_in[:, :, 1:]], axis=2)
+
         def step_fn(carry, i, three_pass, data):
             latents = carry
             t = jnp.asarray(ts_np)[i]
@@ -424,7 +492,7 @@ class HunyuanVideoPipeline:
             if do_true_cfg and three_pass:
                 lat_in = jnp.concatenate([latents] * 3, axis=0)
                 img_cond = jnp.concatenate([il, cond, cond], axis=0)
-                lat_in = jnp.concatenate([img_cond, lat_in[:, :, 1:]], axis=2)
+                lat_in = assemble(lat_in, img_cond)
                 embeds = jnp.concatenate([data["neg_embeds"], data["neg_embeds"], data["prompt_embeds"]], axis=0)
                 mask = jnp.concatenate([data["neg_mask"], data["neg_mask"], data["prompt_mask"]], axis=0)
                 pool = jnp.concatenate([data["neg_pooled"], data["neg_pooled"], data["pooled"]], axis=0)
@@ -435,7 +503,7 @@ class HunyuanVideoPipeline:
                 # 2-pass: clean conditioning (strength-0 / lp_on_noisy_latent / no-ALG)
                 lat_in = jnp.concatenate([latents] * 2, axis=0)
                 img_cond = jnp.concatenate([il, il], axis=0)
-                lat_in = jnp.concatenate([img_cond, lat_in[:, :, 1:]], axis=2)
+                lat_in = assemble(lat_in, img_cond)
                 embeds = jnp.concatenate([data["neg_embeds"], data["prompt_embeds"]], axis=0)
                 mask = jnp.concatenate([data["neg_mask"], data["prompt_mask"]], axis=0)
                 pool = jnp.concatenate([data["neg_pooled"], data["pooled"]], axis=0)
@@ -443,15 +511,19 @@ class HunyuanVideoPipeline:
                 uncond, text = pred[:batch], pred[batch:]
                 noise_pred = uncond + true_cfg_scale * (text - uncond)
             else:
-                # single pass; ALG replaces the conditioning frame (:1196-1235)
-                lat_in = jnp.concatenate([cond, latents[:, :, 1:]], axis=2)
+                # single pass; ALG replaces the conditioning (:1196-1235)
+                lat_in = assemble(latents, cond)
                 noise_pred = dit(
                     tparams, lat_in, data["prompt_embeds"], data["prompt_mask"], data["pooled"], t
                 )
 
-            # token_replace scheduler step: frames 1+ only, re-pin frame 0
-            new_rest = flow_match_euler_step(sched_plan, i, noise_pred[:, :, 1:], latents[:, :, 1:])
-            new_latents = jnp.concatenate([il, new_rest], axis=2)
+            if latent_concat:
+                # full scheduler step, no re-pinning (reference :1264)
+                new_latents = flow_match_euler_step(sched_plan, i, noise_pred, latents)
+            else:
+                # token_replace scheduler step: frames 1+ only, re-pin frame 0
+                new_rest = flow_match_euler_step(sched_plan, i, noise_pred[:, :, 1:], latents[:, :, 1:])
+                new_latents = jnp.concatenate([il, new_rest], axis=2)
             return new_latents.astype(jnp.float32), ()
 
         @jax.jit
@@ -475,7 +547,17 @@ class HunyuanVideoPipeline:
             "vae_params": self.vae_params if pixel_mode else None,
             "pixel_image": pixel_image,
         }
-        return run(data)
+        import contextlib
+
+        from alg_tpu.ops.attention import attention_mesh_scope
+
+        ctx = (
+            attention_mesh_scope(self.attn_mesh)
+            if self.attn_mesh is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return run(data)
 
     def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:
         """Tiled above 48×48 latents (replaces the reference's enable_tiling

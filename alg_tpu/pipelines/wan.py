@@ -79,6 +79,8 @@ class WanPipeline:
     tokenize: Optional[Callable] = None  # (prompts, max_len) -> (ids, mask)
     scheduler_cfg: UniPCConfig = dataclasses.field(default_factory=lambda: UniPCConfig(flow_shift=5.0))
     dtype: Any = jnp.float32
+    # multi-chip: mesh for shard_map'd fused attention inside the sampler
+    attn_mesh: Any = None
 
     @property
     def vae_scale_factor_spatial(self) -> int:
@@ -428,7 +430,17 @@ class WanPipeline:
             "pixel_image": pixel_image,
             "pixel_vae_noise": pixel_vae_noise,
         }
-        return run(data)
+        import contextlib
+
+        from alg_tpu.ops.attention import attention_mesh_scope
+
+        ctx = (
+            attention_mesh_scope(self.attn_mesh)
+            if self.attn_mesh is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return run(data)
 
     def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:
         """De-normalize + VAE decode (:948-960) → [B, C, F, H, W] in [-1,1].

@@ -1,13 +1,22 @@
-"""Batched multi-prompt serving (BASELINE config #5).
+"""Batched multi-prompt serving (BASELINE config #5) — all three backbones.
 
 The reference is strictly single-prompt, single-device (SURVEY §2/§5). This
 module adds the TPU-native serving surface: N prompts batched through one
 jit-compiled denoise loop, with the DiT optionally sharded over an ICI mesh
 (DP over prompts × TP over heads/MLP — see :mod:`alg_tpu.sharding`).
 
-On multi-chip meshes the XLA attention path is used (a Pallas custom call is
-not partitionable by GSPMD; a shard_map'd kernel is tracked for a later
-round). Single-chip serving keeps the Pallas kernel.
+Multi-chip attention stays fused: ``shard_pipeline`` arms the pipeline with
+an attention mesh, and the sampler routes every attention call through a
+``shard_map`` whose shards run the Pallas kernel locally (heads/batch are
+embarrassingly parallel — see :mod:`alg_tpu.ops.attention`). On CPU meshes
+(virtual-device tests) the shards run the XLA reference instead.
+
+Per-family differences are isolated in ``_ENCODERS``:
+  * CogVideoX — T5 text only (reference ``...cogvideox...py:271-350``);
+  * Wan — UMT5 text + CLIP-vision per-request image embeds (``...wan...py:
+    237-316``);
+  * Hunyuan — Llava(image, prompt) + CLIP pooled, per request since the
+    template crops depend on each request's image (``...hunyuan...py:454-492``).
 """
 
 from __future__ import annotations
@@ -18,7 +27,7 @@ from typing import Any, List, Optional, Sequence
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from alg_tpu.core.rng import NoiseSource
 
@@ -29,6 +38,88 @@ class BatchRequest:
     image: Any  # PIL image / preprocessed array
     negative_prompt: Optional[str] = None
     seed: int = 42
+
+
+def _preprocess_images(requests, height, width) -> np.ndarray:
+    from alg_tpu.pipelines import processing
+
+    return np.concatenate(
+        [
+            processing.preprocess_image(r.image, height, width)
+            if not isinstance(r.image, np.ndarray)
+            else np.asarray(r.image, np.float32)
+            for r in requests
+        ],
+        axis=0,
+    )
+
+
+def _encode_cogvideox(pipeline, requests, gen_kwargs):
+    prompts = [r.prompt for r in requests]
+    negatives = [r.negative_prompt or "" for r in requests]
+    return {
+        "prompt_embeds": pipeline.encode_prompt(prompts),
+        "negative_prompt_embeds": pipeline.encode_prompt(negatives),
+    }
+
+
+def _encode_wan(pipeline, requests, gen_kwargs):
+    prompts = [r.prompt for r in requests]
+    negatives = [r.negative_prompt or "" for r in requests]
+    out = {
+        "prompt_embeds": pipeline.encode_prompt(prompts),
+        "negative_prompt_embeds": pipeline.encode_prompt(negatives),
+    }
+    if pipeline.clip_params is not None:
+        out["image_embeds"] = jnp.concatenate(
+            [pipeline.encode_image(r.image) for r in requests], axis=0
+        )
+    return out
+
+
+def _encode_hunyuan(pipeline, requests, gen_kwargs):
+    # Llava prompt embeds depend on each request's image (the template embeds
+    # 576 image tokens); encode per request and batch the crops.
+    embeds, pooled, masks = [], [], []
+    for r in requests:
+        e, p, m = pipeline.encode_prompt(r.image, r.prompt)
+        embeds.append(e)
+        pooled.append(p)
+        masks.append(m)
+    out = {
+        "prompt_embeds": jnp.concatenate(embeds, axis=0),
+        "pooled_prompt_embeds": jnp.concatenate(pooled, axis=0),
+        "prompt_attention_mask": jnp.concatenate(masks, axis=0),
+    }
+    if gen_kwargs.get("true_cfg_scale", 1.0) > 1.0:
+        from PIL import Image as PILImage
+
+        height = gen_kwargs.get("height", 720)
+        width = gen_kwargs.get("width", 1280)
+        black = PILImage.new("RGB", (width, height), 0)
+        n_embeds, n_pooled, n_masks = [], [], []
+        for r in requests:
+            e, p, m = pipeline.encode_prompt(black, r.negative_prompt or "")
+            n_embeds.append(e)
+            n_pooled.append(p)
+            n_masks.append(m)
+        out["negative_prompt_embeds"] = jnp.concatenate(n_embeds, axis=0)
+        out["negative_pooled_prompt_embeds"] = jnp.concatenate(n_pooled, axis=0)
+        out["negative_prompt_attention_mask"] = jnp.concatenate(n_masks, axis=0)
+    return out
+
+
+_ENCODERS = {
+    "CogVideoXPipeline": _encode_cogvideox,
+    "WanPipeline": _encode_wan,
+    "HunyuanVideoPipeline": _encode_hunyuan,
+}
+
+_DEFAULT_HW = {
+    "CogVideoXPipeline": (480, 720),
+    "WanPipeline": (480, 832),
+    "HunyuanVideoPipeline": (720, 1280),
+}
 
 
 def serve_batch(
@@ -44,26 +135,17 @@ def serve_batch(
     expected to be pre-sharded (see ``shard_pipeline``) and the batch is laid
     out along the ``dp`` axis.
     """
-    from alg_tpu.pipelines import processing
+    family = type(pipeline).__name__
+    if family not in _ENCODERS:
+        raise ValueError(f"Unsupported pipeline type for serving: {family}")
 
     n = len(requests)
-    prompts = [r.prompt for r in requests]
-    negatives = [r.negative_prompt or "" for r in requests]
+    def_h, def_w = _DEFAULT_HW[family]
+    height = gen_kwargs.get("height") or def_h
+    width = gen_kwargs.get("width") or def_w
+    images = _preprocess_images(requests, height, width)
 
-    height = gen_kwargs.get("height") or 480
-    width = gen_kwargs.get("width") or 720
-    images = np.concatenate(
-        [
-            processing.preprocess_image(r.image, height, width)
-            if not isinstance(r.image, np.ndarray)
-            else np.asarray(r.image, np.float32)
-            for r in requests
-        ],
-        axis=0,
-    )
-
-    embeds = pipeline.encode_prompt(prompts)
-    neg_embeds = pipeline.encode_prompt(negatives)
+    encoded = _ENCODERS[family](pipeline, requests, gen_kwargs)
 
     # per-request noise: each sample gets its own torch-order stream
     sources = [NoiseSource(seed=r.seed) for r in requests]
@@ -72,40 +154,51 @@ def serve_batch(
         """Draws per-sample from independent streams, stacking along batch."""
 
         def randn(self, shape, dtype=np.float32):
-            if shape[0] == n:
-                return np.stack(
-                    [s.randn(shape[1:], dtype=dtype) for s in sources]
+            if shape[0] != n:
+                # every pipeline draw is batch-leading today; a silent
+                # fallback to one stream would miscorrelate samples
+                raise ValueError(
+                    f"batched serving expected a batch-leading draw of {n}, "
+                    f"got shape {shape}"
                 )
-            # shared draws (e.g. broadcast conditions) come from request 0
-            return sources[0].randn(shape, dtype=dtype)
+            return np.stack([s.randn(shape[1:], dtype=dtype) for s in sources])
 
     out = pipeline(
         image=images,
-        prompt_embeds=embeds,
-        negative_prompt_embeds=neg_embeds,
         noise_source=_BatchNoise(),
+        **encoded,
         **gen_kwargs,
     )
     return out
 
 
 def shard_pipeline(pipeline, mesh: Mesh):
-    """Place a CogVideoX pipeline's DiT on the mesh (TP) and return a copy.
+    """Place a pipeline's DiT on the mesh (TP×DP) and return a copy.
 
-    Data (latents/conditions) shards along ``dp`` automatically once inputs
-    are placed; XLA GSPMD inserts the TP collectives from the weight layout.
+    Works for all three backbones — the partition specs are selected by
+    pipeline type. Data (latents/conditions) shards along ``dp`` automatically
+    once inputs are placed; XLA GSPMD inserts the TP collectives from the
+    weight layout; attention inside the sampler runs through a shard_map'd
+    fused kernel (``attn_mesh``).
     """
     import dataclasses as _dc
 
-    from alg_tpu.ops.attention import set_attention_impl
-    from alg_tpu.sharding import cogvideox_transformer_specs
+    from alg_tpu.sharding import (
+        cogvideox_transformer_specs,
+        hunyuan_transformer_specs,
+        wan_transformer_specs,
+    )
 
-    specs = cogvideox_transformer_specs(pipeline.transformer_params)
+    specs_fn = {
+        "CogVideoXPipeline": cogvideox_transformer_specs,
+        "WanPipeline": wan_transformer_specs,
+        "HunyuanVideoPipeline": hunyuan_transformer_specs,
+    }[type(pipeline).__name__]
+
+    specs = specs_fn(pipeline.transformer_params)
     sharded = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         pipeline.transformer_params,
         specs,
     )
-    if mesh.devices.size > 1:
-        set_attention_impl("xla")
-    return _dc.replace(pipeline, transformer_params=sharded)
+    return _dc.replace(pipeline, transformer_params=sharded, attn_mesh=mesh)

@@ -1,4 +1,16 @@
 from alg_tpu.sharding.mesh import make_mesh, cpu_mesh
-from alg_tpu.sharding.partition import cogvideox_transformer_specs, shard_params
+from alg_tpu.sharding.partition import (
+    cogvideox_transformer_specs,
+    hunyuan_transformer_specs,
+    shard_params,
+    wan_transformer_specs,
+)
 
-__all__ = ["make_mesh", "cpu_mesh", "cogvideox_transformer_specs", "shard_params"]
+__all__ = [
+    "make_mesh",
+    "cpu_mesh",
+    "cogvideox_transformer_specs",
+    "wan_transformer_specs",
+    "hunyuan_transformer_specs",
+    "shard_params",
+]

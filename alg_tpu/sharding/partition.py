@@ -34,6 +34,95 @@ def cogvideox_transformer_specs(params) -> dict:
     return specs
 
 
+def _col(p) -> dict:
+    """Column-parallel linear: output features sharded."""
+    out = {"kernel": P(None, None, "tp")}
+    if "bias" in p:
+        out["bias"] = P(None, "tp")
+    return out
+
+
+def _row(p) -> dict:
+    """Row-parallel linear: input features sharded (XLA adds the all-reduce)."""
+    out = {"kernel": P(None, "tp", None)}
+    if "bias" in p:
+        out["bias"] = P()
+    return out
+
+
+def wan_transformer_specs(params) -> dict:
+    """PartitionSpec pytree matching ``init_wan_transformer`` output.
+
+    Both attention streams (self + the UMT5/CLIP-image cross-attention,
+    reference ``pipeline_wan_image2video_lowpass.py:910-917``) are
+    Megatron-sharded. Wan's q/k RMSNorms act on the full ``dim`` after the
+    column-parallel projection, so their scales shard with it.
+    """
+
+    def rep(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    blocks = params["blocks"]
+    block_specs = rep(blocks)
+    for attn in ("attn1", "attn2"):
+        a = blocks[attn]
+        sp = block_specs[attn]
+        for name in ("to_q", "to_k", "to_v"):
+            sp[name] = _col(a[name])
+        sp["to_out"] = _row(a["to_out"])
+        sp["norm_q"] = {"scale": P(None, "tp")}
+        sp["norm_k"] = {"scale": P(None, "tp")}
+        if "add_k_proj" in a:
+            sp["add_k_proj"] = _col(a["add_k_proj"])
+            sp["add_v_proj"] = _col(a["add_v_proj"])
+            sp["norm_added_k"] = {"scale": P(None, "tp")}
+    block_specs["ffn"]["fc_in"] = _col(blocks["ffn"]["fc_in"])
+    block_specs["ffn"]["fc_out"] = _row(blocks["ffn"]["fc_out"])
+
+    specs = rep({k: v for k, v in params.items() if k != "blocks"})
+    specs["blocks"] = block_specs
+    return specs
+
+
+def hunyuan_transformer_specs(params) -> dict:
+    """PartitionSpec pytree matching ``init_hunyuan_transformer`` output.
+
+    Double-stream blocks shard both the video (to_*) and text (add_*)
+    projections; single-stream blocks shard qkv + proj_mlp column-wise and
+    proj_out row-wise (its input is the concat of the head-sharded attention
+    output and the tp-sharded MLP activations; GSPMD reshards the concat).
+    Per-head-dim q/k RMSNorms and the token refiner (2 tiny layers) stay
+    replicated.
+    """
+
+    def rep(tree):
+        return jax.tree.map(lambda _: P(), tree)
+
+    specs = rep({k: v for k, v in params.items() if k not in ("transformer_blocks", "single_transformer_blocks")})
+
+    dbl = params["transformer_blocks"]
+    d_specs = rep(dbl)
+    a = dbl["attn"]
+    sp = d_specs["attn"]
+    for name in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+        sp[name] = _col(a[name])
+    sp["to_out"] = _row(a["to_out"])
+    sp["to_add_out"] = _row(a["to_add_out"])
+    for ff in ("ff", "ff_context"):
+        d_specs[ff]["fc_in"] = _col(dbl[ff]["fc_in"])
+        d_specs[ff]["fc_out"] = _row(dbl[ff]["fc_out"])
+    specs["transformer_blocks"] = d_specs
+
+    sgl = params["single_transformer_blocks"]
+    s_specs = rep(sgl)
+    for name in ("to_q", "to_k", "to_v"):
+        s_specs["attn"][name] = _col(sgl["attn"][name])
+    s_specs["proj_mlp"] = _col(sgl["proj_mlp"])
+    s_specs["proj_out"] = _row(sgl["proj_out"])
+    specs["single_transformer_blocks"] = s_specs
+    return specs
+
+
 def shard_params(params, specs, mesh):
     """Place a param tree on the mesh according to its spec tree."""
     from jax.sharding import NamedSharding

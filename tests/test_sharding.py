@@ -142,3 +142,290 @@ def test_sharded_batched_serving():
             set_attention_impl(None)
         assert out.shape == (2, 2, 4, 4, 4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_shard_map_attention_matches_unsharded():
+    """attention() under an attention-mesh scope (shard_map over dp×tp) must
+    equal the plain XLA reference — this is the multi-chip fused-attention
+    path (each shard computes its local heads/batch independently)."""
+    from alg_tpu.ops.attention import attention, attention_mesh_scope
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    mesh = make_mesh(dp=2, tp=4, devices=cpus)
+    rng = np.random.RandomState(0)
+
+    with jax.default_device(cpus[0]):
+        q = jnp.asarray(rng.randn(4, 8, 24, 16).astype(np.float32))
+        k = jnp.asarray(rng.randn(4, 8, 24, 16).astype(np.float32))
+        v = jnp.asarray(rng.randn(4, 8, 24, 16).astype(np.float32))
+        kv_len = jnp.asarray(np.array([24, 17, 24, 5], np.int32))
+        ref = attention(q, k, v, impl="xla")
+        ref_kv = attention(q, k, v, kv_len=kv_len, impl="xla")
+        with attention_mesh_scope(mesh):
+            out = jax.jit(lambda q, k, v: attention(q, k, v))(q, k, v)
+            out_kv = jax.jit(lambda q, k, v, kl: attention(q, k, v, kv_len=kl))(
+                q, k, v, kv_len
+            )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_kv), np.asarray(ref_kv), atol=1e-6)
+
+
+def test_tp_sharded_wan_dit_matches_single_device():
+    from alg_tpu.models.wan import WanTransformerConfig, init_wan_transformer, wan_rope, wan_transformer
+    from alg_tpu.ops.attention import attention_mesh_scope, set_attention_impl
+    from alg_tpu.sharding import make_mesh, wan_transformer_specs
+
+    cfg = WanTransformerConfig(
+        num_attention_heads=4,
+        attention_head_dim=12,
+        in_channels=9,
+        out_channels=4,
+        num_layers=2,
+        ffn_dim=32,
+        freq_dim=16,
+        text_dim=8,
+        image_dim=10,
+        patch_size=(1, 2, 2),
+    )
+    cpus = _cpu_devices(8)
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(cpus[0]):
+        params = init_wan_transformer(key, cfg)
+        x = jax.random.normal(key, (2, 9, 2, 4, 4))
+        text = jax.random.normal(key, (2, 7, 8))
+        img = jax.random.normal(key, (2, 5, 10))
+        cos, sin = wan_rope(cfg, 2, 4, 4)
+        t = jnp.array([500.0, 900.0])
+
+        set_attention_impl("xla")
+        try:
+            ref = wan_transformer(params, cfg, x, t, text, img, cos, sin)
+
+            mesh = make_mesh(dp=2, tp=4, devices=cpus)
+            specs = wan_transformer_specs(params)
+            params_sh = jax.tree.map(
+                lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+            )
+            data = NamedSharding(mesh, P("dp"))
+            x_sh, text_sh, img_sh = (jax.device_put(a, data) for a in (x, text, img))
+
+            fn = jax.jit(
+                lambda p, x, t, tx, im: wan_transformer(p, cfg, x, t, tx, im, cos, sin)
+            )
+            with mesh, attention_mesh_scope(mesh):
+                out = fn(params_sh, x_sh, t, text_sh, img_sh)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        finally:
+            set_attention_impl(None)
+
+
+def test_tp_sharded_hunyuan_dit_matches_single_device():
+    from alg_tpu.models.hunyuan import (
+        HunyuanVideoTransformerConfig,
+        hunyuan_rope,
+        hunyuan_transformer,
+        init_hunyuan_transformer,
+    )
+    from alg_tpu.ops.attention import attention_mesh_scope, set_attention_impl
+    from alg_tpu.sharding import hunyuan_transformer_specs, make_mesh
+
+    cfg = HunyuanVideoTransformerConfig(
+        in_channels=4,
+        out_channels=4,
+        num_attention_heads=4,
+        attention_head_dim=8,
+        num_layers=1,
+        num_single_layers=2,
+        num_refiner_layers=1,
+        mlp_ratio=2.0,
+        text_embed_dim=12,
+        pooled_projection_dim=6,
+        rope_axes_dim=(2, 4, 2),
+    )
+    cpus = _cpu_devices(8)
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(cpus[0]):
+        params = init_hunyuan_transformer(key, cfg)
+        x = jax.random.normal(key, (2, 4, 3, 4, 4))
+        text = jax.random.normal(key, (2, 7, 12))
+        mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1, 1]], np.int32))
+        pooled = jax.random.normal(key, (2, 6))
+        cos, sin = hunyuan_rope(cfg, 3, 4, 4)
+        t = jnp.array([500.0, 900.0])
+        guidance = jnp.array([6000.0, 6000.0])
+
+        set_attention_impl("xla")
+        try:
+            ref = hunyuan_transformer(
+                params, cfg, x, t, text, mask, pooled, guidance=guidance, rope_cos=cos, rope_sin=sin
+            )
+
+            mesh = make_mesh(dp=2, tp=4, devices=cpus)
+            specs = hunyuan_transformer_specs(params)
+            params_sh = jax.tree.map(
+                lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+            )
+            data = NamedSharding(mesh, P("dp"))
+            x_sh, text_sh, mask_sh, pooled_sh = (
+                jax.device_put(a, data) for a in (x, text, mask, pooled)
+            )
+
+            fn = jax.jit(
+                lambda p, x, t, e, m, pl: hunyuan_transformer(
+                    p, cfg, x, t, e, m, pl, guidance=guidance, rope_cos=cos, rope_sin=sin
+                )
+            )
+            with mesh, attention_mesh_scope(mesh):
+                out = fn(params_sh, x_sh, t, text_sh, mask_sh, pooled_sh)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        finally:
+            set_attention_impl(None)
+
+
+def test_sharded_batched_serving_wan():
+    """Batched multi-prompt Wan serving, TP-sharded vs unsharded exactness."""
+    from alg_tpu.models.wan import WanTransformerConfig, WanVAEConfig, init_wan_transformer, init_wan_vae
+    from alg_tpu.ops.attention import set_attention_impl
+    from alg_tpu.pipelines import WanPipeline
+    from alg_tpu.schedulers import UniPCConfig
+    from alg_tpu.serving import BatchRequest, serve_batch, shard_pipeline
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    with jax.default_device(cpus[0]):
+        tcfg = WanTransformerConfig(
+            num_attention_heads=4,
+            attention_head_dim=12,
+            in_channels=12,
+            out_channels=4,
+            num_layers=2,
+            ffn_dim=32,
+            freq_dim=16,
+            text_dim=8,
+            image_dim=10,
+        )
+        vcfg = WanVAEConfig(
+            base_dim=8,
+            z_dim=4,
+            dim_mult=(1, 2, 2, 2),
+            num_res_blocks=1,
+            latents_mean=tuple(float(x) for x in np.linspace(-0.5, 0.5, 4)),
+            latents_std=tuple(float(x) for x in np.linspace(1.0, 2.0, 4)),
+        )
+        pipe = WanPipeline(
+            transformer_cfg=tcfg,
+            transformer_params=init_wan_transformer(jax.random.PRNGKey(0), tcfg),
+            vae_cfg=vcfg,
+            vae_params=init_wan_vae(jax.random.PRNGKey(1), vcfg),
+            scheduler_cfg=UniPCConfig(flow_shift=5.0),
+            clip_params={},  # sentinel: serving calls the stubbed encode_image
+        )
+        erng = np.random.RandomState(3)
+        stub_prompt = lambda prompts, max_len=512: jnp.asarray(
+            erng.randn(len(prompts), 7, 8).astype(np.float32)
+        )
+        stub_image = lambda image: jnp.asarray(erng.randn(1, 5, 10).astype(np.float32))
+
+        rng = np.random.RandomState(7)
+        reqs = [
+            BatchRequest(prompt="a", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=42),
+            BatchRequest(prompt="b", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=7),
+        ]
+        kwargs = dict(
+            height=32, width=32, num_frames=9, num_inference_steps=2,
+            guidance_scale=5.0, output_type="latent",
+            use_low_pass_guidance=True, lp_filter_type="down_up",
+            lp_filter_in_latent=True, lp_resize_factor=0.4,
+            lp_strength_schedule_type="interval",
+            schedule_interval_start_time=0.0, schedule_interval_end_time=0.6,
+        )
+
+        set_attention_impl("xla")
+        try:
+            pipe.encode_prompt = stub_prompt
+            pipe.encode_image = stub_image
+            erng_state = erng.get_state()
+            ref = serve_batch(pipe, reqs, **kwargs)
+
+            mesh = make_mesh(dp=2, tp=4, devices=cpus)
+            pipe_sh = shard_pipeline(pipe, mesh)
+            pipe_sh.encode_prompt = stub_prompt
+            pipe_sh.encode_image = stub_image
+            erng.set_state(erng_state)  # same stub draws both runs
+            with mesh:
+                out = serve_batch(pipe_sh, reqs, **kwargs)
+        finally:
+            set_attention_impl(None)
+        assert out.shape == ref.shape == (2, 4, 3, 4, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_sharded_batched_serving_hunyuan():
+    """Batched multi-prompt Hunyuan serving (single-pass distilled-guidance
+    path), TP-sharded vs unsharded exactness."""
+    from alg_tpu.models.hunyuan import (
+        HunyuanVAEConfig,
+        HunyuanVideoTransformerConfig,
+        init_hunyuan_transformer,
+        init_hunyuan_vae,
+    )
+    from alg_tpu.ops.attention import set_attention_impl
+    from alg_tpu.pipelines import HunyuanVideoPipeline
+    from alg_tpu.serving import BatchRequest, serve_batch, shard_pipeline
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    with jax.default_device(cpus[0]):
+        tcfg = HunyuanVideoTransformerConfig(
+            in_channels=4, out_channels=4, num_attention_heads=4, attention_head_dim=8,
+            num_layers=1, num_single_layers=1, num_refiner_layers=1, mlp_ratio=2.0,
+            text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(2, 4, 2),
+        )
+        vcfg = HunyuanVAEConfig(
+            block_out_channels=(8, 16, 16, 16), latent_channels=4, layers_per_block=1, norm_num_groups=4
+        )
+        pipe = HunyuanVideoPipeline(
+            transformer_cfg=tcfg,
+            transformer_params=init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg),
+            vae_cfg=vcfg,
+            vae_params=init_hunyuan_vae(jax.random.PRNGKey(1), vcfg),
+        )
+
+        def stub_encode(image, prompt, *a, **k):
+            r = np.random.RandomState(abs(hash(prompt)) % (2**31))
+            return (
+                jnp.asarray(r.randn(1, 7, 12).astype(np.float32)),
+                jnp.asarray(r.randn(1, 6).astype(np.float32)),
+                jnp.asarray(np.ones((1, 7), np.int32)),
+            )
+
+        rng = np.random.RandomState(7)
+        reqs = [
+            BatchRequest(prompt="a", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=42),
+            BatchRequest(prompt="b", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=7),
+        ]
+        kwargs = dict(
+            height=32, width=32, num_frames=9, num_inference_steps=2,
+            guidance_scale=6.0, true_cfg_scale=1.0, i2v_stable=True,
+            output_type="latent",
+            use_low_pass_guidance=True, lp_filter_type="down_up",
+            lp_filter_in_latent=True, lp_resize_factor=0.625,
+            lp_strength_schedule_type="interval",
+            schedule_interval_start_time=0.0, schedule_interval_end_time=0.6,
+        )
+
+        set_attention_impl("xla")
+        try:
+            pipe.encode_prompt = stub_encode
+            ref = serve_batch(pipe, reqs, **kwargs)
+
+            mesh = make_mesh(dp=2, tp=4, devices=cpus)
+            pipe_sh = shard_pipeline(pipe, mesh)
+            pipe_sh.encode_prompt = stub_encode
+            with mesh:
+                out = serve_batch(pipe_sh, reqs, **kwargs)
+        finally:
+            set_attention_impl(None)
+        assert out.shape == ref.shape == (2, 4, 3, 4, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
