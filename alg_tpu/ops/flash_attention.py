@@ -11,6 +11,23 @@ video DiTs and all text encoders. Supports:
   * per-batch ``kv_len`` key masking (HunyuanVideo padded joint attention),
   * an additive ``bias`` broadcast over batch (T5 relative position bias),
 with skip-fast-paths for fully-masked causal blocks.
+
+Perf design (measured on v5e at the CogVideoX shape, B2·H48·S17776·D64):
+  * At head_dim 64 the MXU charges a full 128-lane/128-contraction pass for
+    both matmuls, so the padded-MXU ceiling is ~50% of peak; VPU work (exp2,
+    casts, scale) overlaps fully with MXU passes and is effectively free.
+  * Fused row-sum: when ``head_dim % 128 != 0`` V is augmented *in-kernel*
+    with a ones column at lane ``d`` (valid rows only). The P·V matmul then
+    yields ``[acc | Σp]`` in one pass — the softmax denominator comes out of
+    the MXU's otherwise-idle output lanes for free, no separate VPU
+    reduction, and no padded-key masking at all.
+  * The softmax scale (and base-2 change of base) is applied to the logits
+    tile in-kernel instead of pre-scaling Q host-side — saves a full XLA
+    elementwise pass over Q per call.
+  * Q is NOT padded: the query grid is ragged (ceil-div) and Mosaic masks
+    the out-of-bounds stores of the last block, saving the XLA pad of Q and
+    the output slice copy. K/V rows ARE zero-padded to the key-block size
+    (garbage keys would pollute every query row).
 """
 
 from __future__ import annotations
@@ -47,21 +64,25 @@ def _fwd_kernel(
     v_ref,  # [1, bk, d]
     bias_ref,  # [1, bq, bk] or None
     o_ref,  # [1, bq, d]
-    m_scr,  # [bq, 128] f32
-    l_scr,  # [bq, 128] f32
-    acc_scr,  # [bq, d] f32
-    *,
+    *scratch,  # acc [bq, d_acc] f32; then m [bq, 128] if stable; then l [bq, 128] if not fused
     scale: float,
     causal: bool,
     use_kv_len: bool,
     num_heads: int,
     block_q: int,
     block_k: int,
-    sq: int,
+    sq_orig: int,
     sk: int,
     sk_orig: int,
     stable: bool,
+    fused: bool,
+    d: int,
+    d_aug: int,
 ):
+    acc_scr = scratch[0]
+    m_scr = scratch[1] if stable else None
+    l_scr = scratch[-1] if not fused else None
+
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -69,17 +90,20 @@ def _fwd_kernel(
 
     @pl.when(ki == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if stable:
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        if not fused:
+            l_scr[:] = jnp.zeros_like(l_scr)
 
     q_start = qi * block_q
     k_start = ki * block_k
 
-    # skip blocks entirely above the causal diagonal
+    # skip blocks entirely above the causal diagonal (offsets in ORIGINAL
+    # coordinates: q is unpadded, k padding sits beyond sk_orig)
     run = True
     if causal:
-        run = k_start <= q_start + (sk - sq) + block_q - 1
+        run = k_start <= q_start + (sk_orig - sq_orig) + block_q - 1
 
     # fp32 inputs get full-precision MXU passes (fixed-seed parity runs);
     # bf16 inputs take the fast path
@@ -87,24 +111,23 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _compute():
-        # q arrives PRE-SCALED by scale·log2(e) (see flash_attention below):
-        # the softmax runs in base 2 — exp2 is the native VPU transcendental
-        # and the scale multiply is folded away from the [bq, bk] tile
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
-        )  # [bq, bk], logits·log2e
+        )  # [bq, bk] raw logits
+        # softmax in base 2: exp2 is the native VPU transcendental; the
+        # combined scale·log2(e) multiply rides the same (MXU-overlapped,
+        # effectively free) VPU pass as the masks below
+        s = s * (scale * LOG2E)
         if bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32) * LOG2E
 
-        # masks cost VPU work — apply them only where they can bite:
-        # causal on diagonal-straddling blocks, length masks on the last block
         if causal:
             col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            s = jnp.where(col <= row + (sk - sq), s, _NEG_INF)
+            s = jnp.where(col <= row + (sk_orig - sq_orig), s, _NEG_INF)
 
         def masked(s):
             col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -116,48 +139,63 @@ def _fwd_kernel(
         if use_kv_len:
             b = bh // num_heads
             s = jax.lax.cond(k_start + block_k > kv_len_ref[b], masked, lambda s: s, s)
-        elif sk_orig != sk and (stable or bias_ref is not None):
+        elif not fused and sk_orig != sk:
+            # non-fused path: padded keys contribute p = exp2(s_masked) to the
+            # VPU denominator, so the tail block must be masked
             s = jax.lax.cond(ki == nk - 1, masked, lambda s: s, s)
-        # fast path with plain padding needs NO mask: zero-padded keys give
-        # s = 0 exactly (q·0), i.e. p = 1 and v-contribution 0 — the constant
-        # over-count of the denominator is subtracted at finalize instead,
-        # keeping the exp2 chain fused (a per-block cond costs ~2x)
+        # fused path needs NO padding mask: the in-kernel ones column is zero
+        # on padded key rows, so they add 0 to both acc and denominator
+        # (padded V rows are zero, so the numerator is safe either way)
+
+        if fused:
+            # augment V with a ones column at lane d (valid rows only): the
+            # P·V pass then emits [acc | Σp] using the idle MXU output lanes
+            vrow = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, d_aug - d), 0)
+            vlane = jax.lax.broadcasted_iota(jnp.int32, (block_k, d_aug - d), 1)
+            extra = ((vlane == 0) & (vrow < sk_orig)).astype(v_ref.dtype)
+            v_aug = jnp.concatenate([v_ref[0], extra], axis=1)  # [bk, d_aug]
+        else:
+            v_aug = v_ref[0]
 
         if stable:
             m_prev = m_scr[:, :1]  # [bq, 1]
-            l_prev = l_scr[:, :1]
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s - m_next)  # [bq, bk] f32 (base-2 softmax)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
+            # the rescale applies uniformly to the fused sum column too:
+            # l_next = alpha·l_prev + Σp is exactly lane d of the update below
             acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                p.astype(v_aug.dtype), v_aug, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
             m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
-            l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+            if not fused:
+                l_prev = l_scr[:, :1]
+                l_scr[:] = jnp.broadcast_to(
+                    alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
+                )
         else:
             # bounded-logit fast path: skip the running max — the softmax is
             # exact in fp32 as long as |logit·log2e| < ~120, which holds by a
             # wide margin for trained DiT attention. Masked logits (-1e30)
-            # exp2 to exactly 0, so causal/kv_len/padding masks still work.
-            # ~2x faster: the max/rescale VPU passes dominate at head_dim 64.
+            # exp2 to exactly 0, so causal/kv_len masks still work.
             p = jnp.exp2(s)
-            l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
             acc_scr[:] += jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                p.astype(v_aug.dtype), v_aug, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
+            if not fused:
+                l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        l = l_scr[:, :1]
-        if not stable and not use_kv_len and bias_ref is None and sk_orig != sk:
-            l = l - float(sk - sk_orig)  # exact padded-key over-count
+        if fused:
+            l = acc_scr[:, d:d + 1]
+        else:
+            l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:, :d] / safe_l).astype(o_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
@@ -180,22 +218,25 @@ def flash_attention(
     causal: bool = False,
     kv_len: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 2048,
     stable: bool = True,
 ) -> jnp.ndarray:
-    """Flash attention over ``[B, H, S, D]``. Sequence dims are zero-padded to
-    block multiples; padded keys are masked, padded queries sliced off."""
+    """Flash attention over ``[B, H, S, D]``. Keys are zero-padded to the
+    key-block size and handled maskless (fused path); the query grid is
+    ragged — no Q padding, no output slicing."""
     b, h, sq_orig, d = q.shape
     sk_orig = k.shape[2]
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk_orig - 1).bit_length()))
-    sq = -(-sq_orig // block_q) * block_q
+    nq = -(-sq_orig // block_q)
     sk = -(-sk_orig // block_k) * block_k
 
-    # fold scale + the softmax's change of base into q (see kernel docstring)
-    q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    qp = _pad_to(q, sq, 2).reshape(b * h, sq, d)
+    # fused row-sum only when head_dim leaves idle MXU output lanes
+    d_aug = -(-(d + 1) // 128) * 128
+    fused = d % 128 != 0
+
+    qp = q.reshape(b * h, sq_orig, d)
     kp = _pad_to(k, sk, 2).reshape(b * h, sk, d)
     vp = _pad_to(v, sk, 2).reshape(b * h, sk, d)
 
@@ -212,7 +253,7 @@ def flash_attention(
     operands = [qp, kp, vp]
     if has_bias:
         bias_b = jnp.broadcast_to(bias, (1,) + bias.shape[-3:]) if bias.ndim == 4 else bias[None]
-        bias_full = _pad_to(_pad_to(bias_b.astype(jnp.float32), sq, -2), sk, -1)
+        bias_full = _pad_to(bias_b.astype(jnp.float32), sk, -1)
         bh_bias = bias_full.shape[1]
         in_specs.append(
             pl.BlockSpec(
@@ -233,51 +274,57 @@ def flash_attention(
         num_heads=h,
         block_q=block_q,
         block_k=block_k,
-        sq=sq,
+        sq_orig=sq_orig,
         sk=sk,
         sk_orig=sk_orig,
         stable=stable,
+        fused=fused,
+        d=d,
+        d_aug=d_aug,
     )
+
+    d_acc = d_aug if fused else d
+    scratch_shapes = [pltpu.VMEM((block_q, d_acc), jnp.float32)]  # acc (+ fused Σp)
+    if stable:
+        scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))  # m
+    if not fused:
+        scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))  # l
 
     # drop the None bias spec when absent; kernel signature adapts
     if not has_bias:
         in_specs = in_specs[:3]
 
-        def kernel_nobias(kv_len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-            return kernel(kv_len_ref, q_ref, k_ref, v_ref, None, o_ref, m_scr, l_scr, acc_scr)
+        def kernel_nobias(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *scr):
+            return kernel(kv_len_ref, q_ref, k_ref, v_ref, None, o_ref, *scr)
 
         body = kernel_nobias
     else:
-        def kernel_bias(kv_len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr):
+        def kernel_bias(kv_len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *scr):
             # bias block arrives as [1, 1, bq, bk]; squeeze the leading dim
-            return kernel(kv_len_ref, q_ref, k_ref, v_ref, bias_ref[0], o_ref, m_scr, l_scr, acc_scr)
+            return kernel(kv_len_ref, q_ref, k_ref, v_ref, bias_ref[0], o_ref, *scr)
 
         body = kernel_bias
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b * h, sq // block_q, sk // block_k),
+        grid=(b * h, nq, sk // block_k),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, _kv: (bh, qi, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_orig, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq * sk * d,
+            flops=4 * b * h * sq_orig * sk * d,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=b * h * sq * sk,
+            transcendentals=b * h * sq_orig * sk,
         ),
     )(kv_len_arr, *operands)
 
-    return out.reshape(b, h, sq, d)[:, :, :sq_orig]
+    return out.reshape(b, h, sq_orig, d)

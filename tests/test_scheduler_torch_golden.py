@@ -1,0 +1,310 @@
+"""Scheduler golden parity vs vendored torch references (VERDICT r1 item 7).
+
+diffusers is not installable here (zero egress), so each scheduler the
+reference actually runs (`run.py:63,82-86`, DPM threading
+`pipeline_cogvideox_image2video_lowpass.py:1111-1122`) is re-implemented
+below in torch from its PUBLISHED formulation — deliberately in a *different*
+algebraic form than alg_tpu's precomputed-table derivations:
+
+  * DDIM: classic `prev = sqrt(ā_prev)·x0 + sqrt(1-ā_prev)·eps` form with the
+    v→eps conversion (alg_tpu uses the a_t/b_t form — equal only if both are
+    derived correctly).
+  * SDE-DPM++(2M): per-step λ/h/r recomputation inside the loop (alg_tpu bakes
+    mult1..4 tables at plan time).
+  * FlowMatchEuler: per-step sigma recomputation with the time shift.
+  * UniPC (flow, bh2): runtime R·ρ=b linear solves with torch.linalg (alg_tpu
+    solves the systems host-side into tables).
+
+Each test drives both implementations through a full 50-step trajectory with
+a nonlinear fake model (output depends on the evolving sample), so any
+coefficient error compounds and surfaces.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from alg_tpu.schedulers import (
+    CogVideoXDDIMConfig,
+    FlowMatchEulerConfig,
+    UniPCConfig,
+    ddim_step,
+    dpm_step,
+    flow_match_euler_step,
+    make_ddim_plan,
+    make_dpm_plan,
+    make_flow_match_euler_plan,
+    make_unipc_plan,
+    unipc_init_state,
+    unipc_step,
+)
+
+STEPS = 50
+SHAPE = (2, 4, 6)
+
+
+def _fake_model(sample: np.ndarray, t: float) -> np.ndarray:
+    """Deterministic nonlinear 'model': keeps trajectories sample-dependent."""
+    return np.sin(sample * 1.7 + t / 1000.0) + 0.1 * sample
+
+
+def _torch_alphas_cumprod(cfg: CogVideoXDDIMConfig) -> torch.Tensor:
+    betas = torch.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5,
+                           cfg.num_train_timesteps, dtype=torch.float64) ** 2
+    ac = torch.cumprod(1.0 - betas, dim=0)
+    s = cfg.snr_shift_scale
+    ac = ac / (s + (1.0 - s) * ac)
+    if cfg.rescale_betas_zero_snr:
+        ab = ac.sqrt()
+        ab = (ab - ab[-1]) * (ab[0] / (ab[0] - ab[-1]))
+        ac = ab**2
+    return ac
+
+
+def _torch_trailing_timesteps(cfg, n):
+    step_ratio = cfg.num_train_timesteps / n
+    return (np.round(np.arange(cfg.num_train_timesteps, 0, -step_ratio)).astype(np.int64) - 1)
+
+
+class TorchDDIM:
+    """Classic-form DDIM (v-prediction, trailing, zero-terminal-SNR)."""
+
+    def __init__(self, cfg: CogVideoXDDIMConfig, n: int):
+        self.cfg = cfg
+        self.ac = _torch_alphas_cumprod(cfg)
+        self.timesteps = _torch_trailing_timesteps(cfg, n)
+        self.n = n
+
+    def step(self, model_output: torch.Tensor, t: int, sample: torch.Tensor) -> torch.Tensor:
+        cfg = self.cfg
+        prev_t = t - cfg.num_train_timesteps // self.n
+        a_t = self.ac[t]
+        a_prev = self.ac[prev_t] if prev_t >= 0 else torch.tensor(1.0, dtype=torch.float64)
+        sa, sb = a_t.sqrt(), (1.0 - a_t).sqrt()
+        # v-prediction: x = sa·x0 + sb·eps, v = sa·eps − sb·x0
+        x0 = sa * sample - sb * model_output
+        eps = sb * sample + sa * model_output
+        return a_prev.sqrt() * x0 + (1.0 - a_prev).sqrt() * eps
+
+
+class TorchCogVideoXDPM:
+    """SDE-DPM-Solver++(2M) for CogVideoX, recomputed per step."""
+
+    def __init__(self, cfg: CogVideoXDDIMConfig, n: int):
+        self.cfg = cfg
+        self.ac = _torch_alphas_cumprod(cfg)
+        self.timesteps = _torch_trailing_timesteps(cfg, n)
+        self.n = n
+
+    def _ab(self, t):
+        if t < 0:
+            return torch.tensor(1.0, dtype=torch.float64)
+        return self.ac[t]
+
+    def step(self, model_output, t, prev_t, back_t, sample, old_x0, noise):
+        a_t, a_prev = self._ab(t), self._ab(prev_t)
+        sa, sb = a_t.sqrt(), (1.0 - a_t).sqrt()
+        x0 = sa * sample - sb * model_output  # v-prediction
+        lam = torch.log(torch.sqrt(a_t / (1.0 - a_t)))
+        lam_prev = torch.log(torch.sqrt(a_prev / torch.clamp(1.0 - a_prev, min=1e-20)))
+        h = lam_prev - lam
+        mult1 = ((1.0 - a_prev) / (1.0 - a_t)).sqrt() * torch.exp(-h)
+        mult2 = torch.expm1(-2.0 * h) * a_prev.sqrt()
+        mult_noise = (1.0 - a_prev).sqrt() * (1.0 - torch.exp(-2.0 * h)).sqrt()
+        if back_t is None:
+            D = x0
+        else:
+            a_back = self._ab(back_t)
+            lam_back = torch.log(torch.sqrt(a_back / (1.0 - a_back)))
+            r = (lam - lam_back) / h
+            D = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * old_x0
+        return mult1 * sample - mult2 * D + mult_noise * noise, x0
+
+
+def test_ddim_torch_golden_trajectory(rng):
+    cfg = CogVideoXDDIMConfig()
+    plan = make_ddim_plan(cfg, STEPS)
+    ref = TorchDDIM(cfg, STEPS)
+    np.testing.assert_array_equal(plan.timesteps, ref.timesteps)
+
+    x_jax = rng.randn(*SHAPE).astype(np.float32)
+    x_t = torch.tensor(x_jax, dtype=torch.float64)
+    for i, t in enumerate(ref.timesteps):
+        mo = _fake_model(np.asarray(x_t, dtype=np.float64), float(t))
+        x_t = ref.step(torch.tensor(mo), int(t), x_t)
+        x_jax = np.asarray(ddim_step(plan, i, jnp.asarray(mo, jnp.float32), jnp.asarray(x_jax)))
+    np.testing.assert_allclose(x_jax, np.asarray(x_t), atol=2e-4, rtol=2e-4)
+
+
+def test_dpm_torch_golden_trajectory(rng):
+    cfg = CogVideoXDDIMConfig()
+    plan = make_dpm_plan(cfg, STEPS)
+    ref = TorchCogVideoXDPM(cfg, STEPS)
+    np.testing.assert_array_equal(plan.timesteps, ref.timesteps)
+
+    x0_init = rng.randn(*SHAPE).astype(np.float32)
+    noises = rng.randn(STEPS, *SHAPE).astype(np.float32)
+    x_jax = jnp.asarray(x0_init)
+    old_x0_jax = jnp.zeros(SHAPE, jnp.float32)
+    x_t = torch.tensor(x0_init, dtype=torch.float64)
+    old_x0_t = None
+    ts = ref.timesteps
+    for i, t in enumerate(ts):
+        prev_t = int(t) - cfg.num_train_timesteps // STEPS
+        back_t = int(ts[i - 1]) if i > 0 else None
+        mo = _fake_model(np.asarray(x_t, dtype=np.float64), float(t))
+        noise = torch.tensor(noises[i], dtype=torch.float64)
+        x_t, old_x0_t = ref.step(torch.tensor(mo), int(t), prev_t, back_t, x_t, old_x0_t, noise)
+        x_jax, old_x0_jax = dpm_step(
+            plan, i, jnp.asarray(mo, jnp.float32), x_jax, old_x0_jax, jnp.asarray(noises[i])
+        )
+    np.testing.assert_allclose(np.asarray(x_jax), np.asarray(x_t), atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("shift,invert", [(7.0, False), (7.0, True), (3.0, False)])
+def test_flow_match_euler_torch_golden(rng, shift, invert):
+    cfg = FlowMatchEulerConfig(shift=shift, invert_sigmas=invert)
+    # the Hunyuan pipeline passes explicit sigmas = linspace(1, 0, T+1)[:-1]
+    sigmas_in = np.linspace(1.0, 0.0, STEPS + 1)[:-1]
+    plan = make_flow_match_euler_plan(cfg, sigmas=sigmas_in)
+
+    # torch reference: shift then (optionally) invert, integrate x += dσ·v
+    sig = torch.tensor(sigmas_in, dtype=torch.float64)
+    sig = shift * sig / (1.0 + (shift - 1.0) * sig)
+    if invert:
+        sig = 1.0 - sig
+        sig_full = torch.cat([sig, torch.tensor([1.0], dtype=torch.float64)])
+    else:
+        sig_full = torch.cat([sig, torch.tensor([0.0], dtype=torch.float64)])
+    ts_ref = sig * cfg.num_train_timesteps
+    np.testing.assert_allclose(plan.timesteps, np.asarray(ts_ref, np.float32), rtol=1e-6)
+
+    x0 = rng.randn(*SHAPE).astype(np.float32)
+    x_jax = jnp.asarray(x0)
+    x_t = torch.tensor(x0, dtype=torch.float64)
+    for i in range(STEPS):
+        mo = _fake_model(np.asarray(x_t, dtype=np.float64), float(ts_ref[i]))
+        x_t = x_t + (sig_full[i + 1] - sig_full[i]) * torch.tensor(mo)
+        x_jax = flow_match_euler_step(plan, i, jnp.asarray(mo, jnp.float32), x_jax)
+    np.testing.assert_allclose(np.asarray(x_jax), np.asarray(x_t), atol=2e-4, rtol=2e-4)
+
+
+class TorchUniPC:
+    """UniPC multistep (flow sigmas, bh2, predict_x0, corrector enabled),
+    implemented from the published algorithm with runtime linear solves."""
+
+    def __init__(self, cfg: UniPCConfig, n: int):
+        assert cfg.use_flow_sigmas and cfg.solver_type == "bh2"
+        self.cfg = cfg
+        self.n = n
+        alphas = np.linspace(1.0, 1.0 / cfg.num_train_timesteps, n + 1, dtype=np.float64)
+        sig = 1.0 - alphas
+        sig = np.flip(cfg.flow_shift * sig / (1.0 + (cfg.flow_shift - 1.0) * sig))[:-1].copy()
+        self.sigmas = torch.tensor(np.concatenate([sig, [0.0]]), dtype=torch.float64)
+        self.timesteps = (sig * cfg.num_train_timesteps).astype(np.int64)
+        self.m_hist = []  # newest first
+        self.last_sample = None
+        self.step_index = 0
+
+    def _lam(self, sig):
+        return torch.log(1.0 - sig) - torch.log(sig)
+
+    def _uni_bh_update(self, x, m_list, i_from, i_to, order, corrector, m_new=None):
+        """Shared UniP/UniC update from σ_{i_from} to σ_{i_to}.
+
+        m_list: x0 predictions, newest first, m_list[0] at σ_{i_from}.
+        """
+        s0, s1 = self.sigmas[i_from], self.sigmas[i_to]
+        lam0, lam1 = self._lam(s0), self._lam(s1)
+        a1 = 1.0 - s1
+        h = lam1 - lam0
+        hh = -h
+        h_phi_1 = torch.expm1(hh)
+        b_h = torch.expm1(hh)  # bh2
+        rks, D1s = [], []
+        for k in range(1, order):
+            sig_k = self.sigmas[i_from - k]
+            lam_k = self._lam(sig_k)
+            rks.append(((lam_k - lam0) / h).item())
+            D1s.append((m_list[k] - m_list[0]) / rks[-1])
+        rks.append(1.0)
+        rks_t = torch.tensor(rks, dtype=torch.float64)
+
+        R, b = [], []
+        h_phi_k = h_phi_1 / hh - 1.0
+        factorial_i = 1.0
+        for j in range(1, order + 1):
+            R.append(torch.pow(rks_t, j - 1))
+            b.append(h_phi_k * factorial_i / b_h)
+            factorial_i *= j + 1
+            h_phi_k = h_phi_k / hh - 1.0 / factorial_i
+        R = torch.stack(R)
+        b = torch.tensor(b, dtype=torch.float64)
+
+        if corrector:
+            if order == 1:
+                rhos = torch.tensor([0.5], dtype=torch.float64)
+            else:
+                rhos = torch.linalg.solve(R, b)
+            x_t_ = (s1 / s0) * x - a1 * h_phi_1 * m_list[0]
+            corr_res = 0.0
+            if D1s:
+                corr_res = torch.einsum("k,k...->...", rhos[:-1], torch.stack(D1s))
+            D1_t = m_new - m_list[0]
+            return x_t_ - a1 * b_h * (corr_res + rhos[-1] * D1_t)
+        else:
+            if order == 1:
+                rhos = torch.tensor([], dtype=torch.float64)
+            elif order == 2:
+                rhos = torch.tensor([0.5], dtype=torch.float64)
+            else:
+                rhos = torch.linalg.solve(R[:-1, :-1], b[:-1])
+            x_t_ = (s1 / s0) * x - a1 * h_phi_1 * m_list[0]
+            if D1s:
+                pred_res = torch.einsum("k,k...->...", rhos, torch.stack(D1s))
+            else:
+                pred_res = 0.0
+            return x_t_ - a1 * b_h * pred_res
+
+    def step(self, model_output, sample):
+        i = self.step_index
+        cfg = self.cfg
+        m_t = sample - self.sigmas[i] * model_output  # flow x0
+
+        # corrector on the incoming sample
+        if i > 0:
+            order_c = min(cfg.solver_order, i, (self.n - i + 1) if cfg.lower_order_final else 10**9)
+            sample = self._uni_bh_update(
+                self.last_sample, self.m_hist, i - 1, i, order_c, corrector=True, m_new=m_t
+            )
+
+        order_p = min(cfg.solver_order, i + 1, (self.n - i) if cfg.lower_order_final else 10**9)
+        self.m_hist = [m_t] + self.m_hist[: cfg.solver_order - 1]
+        if self.sigmas[i + 1] == 0.0:
+            # terminal: x0 is the sample (φ₁ → −1, σ-ratio → 0)
+            prev = m_t.clone()
+        else:
+            prev = self._uni_bh_update(sample, self.m_hist, i, i + 1, order_p, corrector=False)
+        self.last_sample = sample
+        self.step_index += 1
+        return prev
+
+
+def test_unipc_torch_golden_trajectory(rng):
+    cfg = UniPCConfig(flow_shift=5.0)
+    plan = make_unipc_plan(cfg, STEPS)
+    ref = TorchUniPC(cfg, STEPS)
+    np.testing.assert_array_equal(np.asarray(plan.timesteps), ref.timesteps)
+    np.testing.assert_allclose(np.asarray(plan.sigmas), np.asarray(ref.sigmas, np.float32), rtol=1e-6)
+
+    x0 = rng.randn(*SHAPE).astype(np.float32)
+    x_jax = jnp.asarray(x0)
+    state = unipc_init_state(plan, SHAPE)
+    x_t = torch.tensor(x0, dtype=torch.float64)
+    for i in range(STEPS):
+        mo = _fake_model(np.asarray(x_t, dtype=np.float64), float(ref.timesteps[i]))
+        x_t = ref.step(torch.tensor(mo), x_t)
+        x_jax, state = unipc_step(plan, i, jnp.asarray(mo, jnp.float32), x_jax, state)
+    np.testing.assert_allclose(np.asarray(x_jax), np.asarray(x_t), atol=1e-3, rtol=1e-3)
