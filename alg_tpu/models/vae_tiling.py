@@ -1,4 +1,4 @@
-"""Spatially tiled VAE decode with overlap blending.
+"""Spatially tiled VAE encode/decode with overlap blending.
 
 The reference relies on diffusers' ``enable_tiling``/``enable_slicing`` for
 VAE memory relief (``pipeline_hunyuan_video_image2video_lowpass.py:601-628``);
@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,3 +76,59 @@ def tiled_decode(
         result_rows.append(jnp.concatenate(result_row, axis=3))
     out = jnp.concatenate(result_rows, axis=2)
     return out[:, :, : h * spatial_scale, : w * spatial_scale]
+
+
+def auto_tile_encode(num_frames: int, h_px: int, w_px: int) -> bool:
+    """Encode-side tiling threshold: whole-clip encoder activations scale
+    with F·H·W (first stage holds 128 channels at full resolution); beyond
+    ~2 frames of 480p the untiled pass starts crowding HBM at Wan/Hunyuan
+    frame counts. Single-frame 480p conditioning encodes stay untiled."""
+    return num_frames * h_px * w_px > 2 * 480 * 720
+
+
+def tiled_encode(
+    encode_fn: Callable,
+    x: jnp.ndarray,  # [B, F, H, W, C] pixels (channels-last)
+    spatial_scale: int,
+    tile_px: int = 256,
+    stride_px: int = 192,
+):
+    """Encode ``x`` in overlapping ``tile_px``² pixel windows and blend the
+    latent seams (diffusers ``tiled_encode`` assembly, mirroring
+    :func:`tiled_decode`). ``encode_fn`` may return any pytree of latents
+    with layout [B, F', h, w, K] (e.g. the ``(mean, logvar)`` moments) — every
+    leaf is blended and cropped identically, so the posterior draw happens on
+    the assembled moments exactly as in the untiled path.
+
+    Reference relief analog: ``pipeline_hunyuan_video_image2video_lowpass.py
+    :601-628`` (enable_tiling covers encode as well as decode)."""
+    b, f, h, w, c = x.shape
+    if h <= tile_px and w <= tile_px:
+        return encode_fn(x)
+
+    overlap_lat = (tile_px - stride_px) // spatial_scale
+    stride_lat = stride_px // spatial_scale
+
+    rows = []
+    for i in range(0, h, stride_px):
+        row = []
+        for j in range(0, w, stride_px):
+            row.append(encode_fn(x[:, :, i : i + tile_px, j : j + tile_px]))
+        rows.append(row)
+
+    tmap = jax.tree_util.tree_map
+    result_rows = []
+    for i, row in enumerate(rows):
+        result_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = tmap(lambda a, b: blend_v(a, b, overlap_lat), rows[i - 1][j], tile)
+            if j > 0:
+                tile = tmap(lambda a, b: blend_h(a, b, overlap_lat), row[j - 1], tile)
+            result_row.append(tmap(lambda t: t[:, :, :stride_lat, :stride_lat], tile))
+        result_rows.append(
+            tmap(lambda *ts: jnp.concatenate(ts, axis=3), *result_row)
+        )
+    out = tmap(lambda *ts: jnp.concatenate(ts, axis=2), *result_rows)
+    h_lat, w_lat = -(-h // spatial_scale), -(-w // spatial_scale)
+    return tmap(lambda t: t[:, :, :h_lat, :w_lat], out)

@@ -84,19 +84,31 @@ def set_attention_impl(impl: Optional[str]) -> None:
 # parallel over (batch, head): under Megatron-style TP the qkv projections
 # are column-parallel, so q/k/v arrive head-sharded and the fused kernel can
 # run purely locally inside a shard_map — no collectives.
+#
+# Long-context / sequence parallelism (SURVEY §5): an optional ``seq_axis``
+# additionally shards the QUERY token dim. Each shard all-gathers K/V over
+# ICI and runs the fused kernel on its ``[B/dp, H/tp, S/sp, D]`` query slab —
+# the O(S²) attention compute and the [Sq, Sk] logits memory both split by
+# sp, which is what bounds 720p×129-frame HunyuanVideo activations on one
+# chip. The moral equivalent of Ulysses for self-attention (all-gathered KV
+# instead of all-to-all) — the right trade at DiT sequence lengths, where
+# K/V (~MBs) are tiny next to the logits (~GBs).
 
-_MESH_CTX = None  # (mesh, batch_axis, head_axis)
+_MESH_CTX = None  # (mesh, batch_axis, head_axis, seq_axis)
 
 
-def set_attention_mesh(mesh, batch_axis: str = "dp", head_axis: str = "tp") -> None:
+def set_attention_mesh(
+    mesh, batch_axis: str = "dp", head_axis: str = "tp", seq_axis: Optional[str] = None
+) -> None:
     """Route subsequent attention calls through ``shard_map`` over ``mesh``.
 
-    Batch shards over ``batch_axis``, heads over ``head_axis``; each shard
-    runs the fused Pallas kernel (TPU meshes) or the XLA reference (CPU
-    meshes) on its local ``[B/dp, H/tp, S, D]`` slab. Pass ``None`` to clear.
+    Batch shards over ``batch_axis``, heads over ``head_axis``, and (when
+    ``seq_axis`` names a mesh axis) query tokens over ``seq_axis``; each
+    shard runs the fused Pallas kernel (TPU meshes) or the XLA reference
+    (CPU meshes) on its local slab. Pass ``None`` to clear.
     """
     global _MESH_CTX
-    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis)
+    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis)
 
 
 def get_attention_mesh():
@@ -104,13 +116,15 @@ def get_attention_mesh():
 
 
 @contextlib.contextmanager
-def attention_mesh_scope(mesh, batch_axis: str = "dp", head_axis: str = "tp"):
+def attention_mesh_scope(
+    mesh, batch_axis: str = "dp", head_axis: str = "tp", seq_axis: Optional[str] = None
+):
     """Scoped :func:`set_attention_mesh` — active only while tracing the
     sampler's DiT, so text/image encoders (whose batches don't live on the
     mesh) keep the ordinary single-device dispatch."""
     global _MESH_CTX
     prev = _MESH_CTX
-    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis)
+    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis)
     try:
         yield
     finally:
@@ -121,19 +135,31 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    mesh, ba, ha = _MESH_CTX
+    mesh, ba, ha, sa = _MESH_CTX
     dp = mesh.shape[ba] if ba in mesh.shape else 1
     tp = mesh.shape[ha] if ha in mesh.shape else 1
-    b, h = q.shape[0], q.shape[1]
+    sp = mesh.shape[sa] if (sa is not None and sa in mesh.shape) else 1
+    b, h, sq = q.shape[0], q.shape[1], q.shape[2]
     if b % dp != 0 or h % tp != 0:
         raise ValueError(
             f"attention mesh needs batch%dp==0 and heads%tp==0; got batch {b} "
             f"over dp={dp}, heads {h} over tp={tp}"
         )
+    if sp > 1:
+        if causal:
+            raise NotImplementedError(
+                "sequence-parallel attention is non-causal only (DiT self/joint attention)"
+            )
+        if sq % sp != 0 or q.shape[2] != k.shape[2]:
+            raise ValueError(
+                f"sequence axis needs seq%sp==0 and self-attention (Sq==Sk); "
+                f"got Sq {sq}, Sk {k.shape[2]} over sp={sp}"
+            )
     platform = mesh.devices.flat[0].platform
     use_pallas = platform in ("tpu", "axon") and _IMPL_OVERRIDE != "xla"
 
-    qkv_spec = P(ba, ha, None, None)
+    seq_dim = sa if sp > 1 else None
+    qkv_spec = P(ba, ha, seq_dim, None)
     in_specs = [qkv_spec, qkv_spec, qkv_spec]
     args = [q, k, v]
     if kv_len is not None:
@@ -141,6 +167,11 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
         args.append(kv_len)
 
     def local(q, k, v, kv_len=None):
+        if sp > 1:
+            # keys/values live sequence-sharded between layers; gather the
+            # full KV per shard over ICI (tiny next to the [Sq/sp, Sk] logits)
+            k = jax.lax.all_gather(k, sa, axis=2, tiled=True)
+            v = jax.lax.all_gather(v, sa, axis=2, tiled=True)
         if use_pallas:
             return flash_attention(
                 q, k, v, scale=scale, causal=causal, kv_len=kv_len, stable=stable

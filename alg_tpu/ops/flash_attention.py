@@ -24,10 +24,10 @@ Perf design (measured on v5e at the CogVideoX shape, B2·H48·S17776·D64):
   * The softmax scale (and base-2 change of base) is applied to the logits
     tile in-kernel instead of pre-scaling Q host-side — saves a full XLA
     elementwise pass over Q per call.
-  * Q is NOT padded: the query grid is ragged (ceil-div) and Mosaic masks
-    the out-of-bounds stores of the last block, saving the XLA pad of Q and
-    the output slice copy. K/V rows ARE zero-padded to the key-block size
-    (garbage keys would pollute every query row).
+  * Q and K/V rows are zero-padded to their block sizes. (A ragged query
+    grid relying on masked boundary blocks was tried and is FASTER, but the
+    out-of-bounds boundary DMAs intermittently killed the TPU worker at
+    production shapes inside large compiled programs — do not reintroduce.)
 """
 
 from __future__ import annotations
@@ -222,21 +222,22 @@ def flash_attention(
     block_k: int = 2048,
     stable: bool = True,
 ) -> jnp.ndarray:
-    """Flash attention over ``[B, H, S, D]``. Keys are zero-padded to the
-    key-block size and handled maskless (fused path); the query grid is
-    ragged — no Q padding, no output slicing."""
+    """Flash attention over ``[B, H, S, D]``. Sequence dims are zero-padded
+    to block multiples; padded keys are handled masklessly by the fused
+    path's valid-row ones column, padded queries are sliced off."""
     b, h, sq_orig, d = q.shape
     sk_orig = k.shape[2]
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk_orig - 1).bit_length()))
-    nq = -(-sq_orig // block_q)
+    sq = -(-sq_orig // block_q) * block_q
+    nq = sq // block_q
     sk = -(-sk_orig // block_k) * block_k
 
     # fused row-sum only when head_dim leaves idle MXU output lanes
     d_aug = -(-(d + 1) // 128) * 128
     fused = d % 128 != 0
 
-    qp = q.reshape(b * h, sq_orig, d)
+    qp = _pad_to(q, sq, 2).reshape(b * h, sq, d)
     kp = _pad_to(k, sk, 2).reshape(b * h, sk, d)
     vp = _pad_to(v, sk, 2).reshape(b * h, sk, d)
 
@@ -253,7 +254,7 @@ def flash_attention(
     operands = [qp, kp, vp]
     if has_bias:
         bias_b = jnp.broadcast_to(bias, (1,) + bias.shape[-3:]) if bias.ndim == 4 else bias[None]
-        bias_full = _pad_to(bias_b.astype(jnp.float32), sk, -1)
+        bias_full = _pad_to(_pad_to(bias_b.astype(jnp.float32), sq, -2), sk, -1)
         bh_bias = bias_full.shape[1]
         in_specs.append(
             pl.BlockSpec(
@@ -316,15 +317,15 @@ def flash_attention(
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_orig, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq_orig * sk * d,
+            flops=4 * b * h * sq * sk * d,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=b * h * sq_orig * sk,
+            transcendentals=b * h * sq * sk,
         ),
     )(kv_len_arr, *operands)
 
-    return out.reshape(b, h, sq_orig, d)
+    return out.reshape(b, h, sq, d)[:, :, :sq_orig]

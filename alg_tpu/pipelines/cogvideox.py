@@ -105,10 +105,21 @@ class CogVideoXPipeline:
 
     def vae_encode_sample(self, image_bfchw: np.ndarray, noise: NoiseSource) -> jnp.ndarray:
         """VAE-encode ``[B, F, C, H, W]`` pixels and draw the posterior sample
-        with torch-ordered noise. Returns latents in [B, F, C, h, w]."""
+        with torch-ordered noise. Returns latents in [B, F, C, h, w].
+
+        Large clips encode through overlapping spatial tiles (the reference's
+        enable_tiling covers encode too, ``...hunyuan...py:601-628``); the
+        posterior draw always happens on the assembled moments."""
+        from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
+
         x = jnp.asarray(image_bfchw, jnp.float32).transpose(0, 1, 3, 4, 2)  # → BFHWC
         fn = jax.jit(lambda params, x: cogvideox_vae_encode(params, self.vae_cfg, x))
-        mean, logvar = fn(self.vae_params, x)
+        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3]):
+            mean, logvar = tiled_encode(
+                lambda xt: fn(self.vae_params, xt), x, self.vae_cfg.spatial_scale
+            )
+        else:
+            mean, logvar = fn(self.vae_params, x)
         # torch draws in [B, C, F, h, w] layout (diffusers DiagonalGaussian)
         b, f, h, w, c = mean.shape
         eps = noise.randn((b, c, f, h, w)).transpose(0, 2, 3, 4, 1)  # → BFHWC
@@ -376,9 +387,17 @@ class CogVideoXPipeline:
             # pixel branch: filter RGB → VAE encode → posterior sample →
             # scale → zero-pad frames → patch_size_t front-pad (:628-680)
             rgb = apply_filter_matrices(data["pixel_image"], mh, mw)  # [B, 1, C, H, W]
-            mean, logvar = cogvideox_vae_encode(
-                data["vae_params"], self.vae_cfg, rgb.transpose(0, 1, 3, 4, 2)
-            )
+            from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
+
+            rgb_c = rgb.transpose(0, 1, 3, 4, 2)
+            if auto_tile_encode(rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3]):
+                mean, logvar = tiled_encode(
+                    lambda xt: cogvideox_vae_encode(data["vae_params"], self.vae_cfg, xt),
+                    rgb_c,
+                    self.vae_cfg.spatial_scale,
+                )
+            else:
+                mean, logvar = cogvideox_vae_encode(data["vae_params"], self.vae_cfg, rgb_c)
             std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
             z = mean + std * data["pixel_vae_noise"][i]
             z = z.transpose(0, 1, 4, 2, 3)  # → [B, 1, C, h, w]
@@ -470,7 +489,7 @@ class CogVideoXPipeline:
         from alg_tpu.ops.attention import attention_mesh_scope
 
         ctx = (
-            attention_mesh_scope(self.attn_mesh)
+            attention_mesh_scope(self.attn_mesh, seq_axis="sp")
             if self.attn_mesh is not None
             else contextlib.nullcontext()
         )

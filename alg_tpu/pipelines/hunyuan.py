@@ -235,6 +235,7 @@ class HunyuanVideoPipeline:
         lp_on_noisy_latent: bool = False,
         enable_lp_img_embeds: bool = False,
         image_condition_type: str = "token_replace",
+        step_observer=None,
     ):
         assert not enable_lp_img_embeds, (
             "Low-pass filter on image embeds is not supported in HunyuanVideo pipeline."
@@ -275,7 +276,15 @@ class HunyuanVideoPipeline:
             image_tensor = np.asarray(image, np.float32)
         x = jnp.asarray(image_tensor, jnp.float32)[:, None].transpose(0, 1, 3, 4, 2)
         enc = jax.jit(lambda p, x: hunyuan_vae_encode(p, self.vae_cfg, x)[0])
-        image_latents = enc(self.vae_params, x).transpose(0, 4, 1, 2, 3)  # [B,z,1,h,w]
+        from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
+
+        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3]):
+            mean0 = tiled_encode(
+                lambda xt: enc(self.vae_params, xt), x, self.vae_cfg.spatial_scale
+            )
+        else:
+            mean0 = enc(self.vae_params, x)
+        image_latents = mean0.transpose(0, 4, 1, 2, 3)  # [B,z,1,h,w]
         image_latents = image_latents * self.vae_cfg.scaling_factor
         batch_img = image_latents.shape[0]
 
@@ -378,6 +387,7 @@ class HunyuanVideoPipeline:
             pixel_image,
             image_condition_type=image_condition_type,
             cond_mask=cond_mask,
+            step_observer=step_observer,
         )
 
         if output_type == "latent":
@@ -410,6 +420,7 @@ class HunyuanVideoPipeline:
         pixel_image,
         image_condition_type: str = "token_replace",
         cond_mask=None,
+        step_observer=None,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
@@ -443,7 +454,17 @@ class HunyuanVideoPipeline:
             if not pixel_mode:
                 return apply_filter_matrices(data["image_latents"], mh, mw)
             rgb = apply_filter_matrices(data["pixel_image"], mh, mw)
-            mean, _ = hunyuan_vae_encode(data["vae_params"], self.vae_cfg, rgb.transpose(0, 1, 3, 4, 2))
+            from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
+
+            rgb_c = rgb.transpose(0, 1, 3, 4, 2)
+            if auto_tile_encode(rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3]):
+                mean = tiled_encode(
+                    lambda xt: hunyuan_vae_encode(data["vae_params"], self.vae_cfg, xt)[0],
+                    rgb_c,
+                    self.vae_cfg.spatial_scale,
+                )
+            else:
+                mean, _ = hunyuan_vae_encode(data["vae_params"], self.vae_cfg, rgb_c)
             z = mean.transpose(0, 4, 1, 2, 3) * self.vae_cfg.scaling_factor
             if latent_concat:
                 il = data["image_latents"]
@@ -552,11 +573,24 @@ class HunyuanVideoPipeline:
         from alg_tpu.ops.attention import attention_mesh_scope
 
         ctx = (
-            attention_mesh_scope(self.attn_mesh)
+            attention_mesh_scope(self.attn_mesh, seq_axis="sp")
             if self.attn_mesh is not None
             else contextlib.nullcontext()
         )
         with ctx:
+            if step_observer is not None:
+                # debug/monitoring path (reference callback_on_step_end,
+                # ...hunyuan...py:1272-1283): host-stepped loop, one jitted
+                # step per pass-count; each step syncs to invoke the observer
+                step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
+                step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
+                latents = data["latents0"]
+                for seg in segments:
+                    f = step3 if seg.three_pass else step2
+                    for i in range(seg.start, seg.stop):
+                        latents = f(latents, i, data)
+                        step_observer(i, np.asarray(latents))
+                return latents
             return run(data)
 
     def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:

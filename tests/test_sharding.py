@@ -19,8 +19,11 @@ def test_mesh_construction():
     from alg_tpu.sharding import make_mesh
 
     mesh = make_mesh(dp=2, tp=4, devices=_cpu_devices(8))
-    assert mesh.axis_names == ("dp", "tp")
-    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("dp", "sp", "tp")
+    assert mesh.devices.shape == (2, 1, 4)
+
+    mesh3 = make_mesh(dp=2, sp=2, tp=2, devices=_cpu_devices(8))
+    assert mesh3.devices.shape == (2, 2, 2)
 
 
 def test_tp_sharded_dit_matches_single_device():
@@ -429,3 +432,119 @@ def test_sharded_batched_serving_hunyuan():
             set_attention_impl(None)
         assert out.shape == ref.shape == (2, 4, 3, 4, 4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# sequence parallelism (SURVEY §5 long-context: SP over tokens, all-gathered KV)
+# ---------------------------------------------------------------------------
+
+
+def test_sp_attention_matches_unsharded():
+    """Sequence-parallel attention (query tokens sharded, K/V all-gathered
+    per shard) must reproduce the unsharded result exactly."""
+    from alg_tpu.ops.attention import (
+        attention,
+        attention_mesh_scope,
+        set_attention_impl,
+    )
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+
+    set_attention_impl("xla")
+    try:
+        ref = attention(q, k, v)
+        mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+        with mesh, attention_mesh_scope(mesh, seq_axis="sp"):
+            out = attention(q, k, v)
+        # all-gather reassociates float reductions; exactness is bitwise per
+        # shard, tiny ulp-level drift across the gather boundary
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+        # kv_len masking composes with SP (Hunyuan joint attention)
+        kv_len = jnp.asarray(np.array([40, 64], np.int32))
+        ref2 = attention(q, k, v, kv_len=kv_len)
+        with mesh, attention_mesh_scope(mesh, seq_axis="sp"):
+            out2 = attention(q, k, v, kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-5)
+    finally:
+        set_attention_impl(None)
+
+
+def test_sp_attention_rejects_causal_and_ragged():
+    from alg_tpu.ops.attention import attention, attention_mesh_scope, set_attention_impl
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+    set_attention_impl("xla")
+    try:
+        with mesh, attention_mesh_scope(mesh, seq_axis="sp"):
+            with pytest.raises(NotImplementedError):
+                attention(q, q, q, causal=True)
+            q_odd = q[:, :, :63]
+            with pytest.raises(ValueError):
+                attention(q_odd, q_odd, q_odd)
+    finally:
+        set_attention_impl(None)
+
+
+def test_sp_sharded_dit_matches_single_device():
+    """Full DiT forward under a dp×sp×tp mesh (tokens sequence-sharded in
+    attention) vs the unsharded forward."""
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        cogvideox_rope,
+        cogvideox_transformer,
+        init_cogvideox_transformer,
+    )
+    from alg_tpu.ops.attention import attention_mesh_scope, set_attention_impl
+    from alg_tpu.sharding import cogvideox_transformer_specs, make_mesh
+    from jax.sharding import NamedSharding
+
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4,
+        attention_head_dim=16,
+        in_channels=8,
+        out_channels=4,
+        time_embed_dim=16,
+        text_embed_dim=12,
+        num_layers=2,
+        sample_height=8,
+        sample_width=8,
+        max_text_seq_length=4,  # video 8 + text 4 = 12 tokens, divisible by sp=2
+    )
+    cpus = _cpu_devices(8)
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(cpus[0]):
+        params = init_cogvideox_transformer(key, cfg)
+        cos, sin = cogvideox_rope(cfg, 32, 32, 2)
+        x = jax.random.normal(key, (2, 2, 8, 4, 4))
+        txt = jax.random.normal(key, (2, 4, 12))
+        ts = jnp.array([700.0, 700.0])
+
+        set_attention_impl("xla")
+        try:
+            ref = cogvideox_transformer(params, cfg, x, txt, ts, cos, sin)
+
+            mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+            specs = cogvideox_transformer_specs(params)
+            params_sh = jax.tree.map(
+                lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+            )
+            data = NamedSharding(mesh, P("dp"))
+            x_sh = jax.device_put(x, data)
+            txt_sh = jax.device_put(txt, data)
+
+            fn = jax.jit(lambda p, x, t, ts: cogvideox_transformer(p, cfg, x, t, ts, cos, sin))
+            with mesh, attention_mesh_scope(mesh, seq_axis="sp"):
+                out = fn(params_sh, x_sh, txt_sh, ts)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        finally:
+            set_attention_impl(None)
