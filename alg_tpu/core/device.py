@@ -14,11 +14,20 @@ until drained. Consequences handled here:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Samplers dispatch their denoise scans in chunks of at most this many steps
+# per XLA program. One 48-step scan at full CogVideoX scale executes for
+# ~6 device-minutes, which the axon tunnel's worker watchdog kills
+# ("TPU worker process crashed or restarted"); 8-step chunks (~1 min) stay
+# comfortably inside the envelope, and the host dispatches chunks back-to-back
+# without fetches, so the queue never drains and throughput is unchanged.
+SCAN_CHUNK = int(os.environ.get("ALG_TPU_SCAN_CHUNK", "8"))
 
 
 def sync(x=None) -> None:

@@ -462,13 +462,33 @@ class CogVideoXPipeline:
                 new_old = old_pred
             return (new_latents.astype(jnp.float32), new_old), ()
 
-        @jax.jit
+        import functools as _ft
+
+        from alg_tpu.core.device import SCAN_CHUNK
+
+        def _range_runner(tp):
+            @_ft.partial(jax.jit, static_argnames=("n",))
+            def run_range(carry, data, start, n):
+                body = lambda c, i: step_fn(c, i, tp, data)
+                return jax.lax.scan(body, carry, start + jnp.arange(n))[0]
+
+            return run_range
+
+        run2, run3 = _range_runner(False), _range_runner(True)
+
         def run(data):
+            # chunked dispatch: each chunk is one bounded XLA program (see
+            # core/device.SCAN_CHUNK); chunks enqueue without host fetches,
+            # so the device queue stays full — numerics identical to one scan
             latents = data["latents0"]
             carry = (latents, jnp.zeros_like(latents))
             for seg in lp_plan.segments:
-                body = lambda c, i, tp=seg.three_pass and do_cfg and alg: step_fn(c, i, tp, data)
-                carry, _ = jax.lax.scan(body, carry, jnp.arange(seg.start, seg.stop))
+                runner = run3 if (seg.three_pass and do_cfg and alg) else run2
+                i = seg.start
+                while i < seg.stop:
+                    n = min(SCAN_CHUNK, seg.stop - i)
+                    carry = runner(carry, data, jnp.int32(i), n)
+                    i += n
             return carry[0]
 
         data = {

@@ -547,12 +547,29 @@ class HunyuanVideoPipeline:
                 new_latents = jnp.concatenate([il, new_rest], axis=2)
             return new_latents.astype(jnp.float32), ()
 
-        @jax.jit
+        from alg_tpu.core.device import SCAN_CHUNK
+
+        def _range_runner(tp):
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def run_range(latents, data, start, n):
+                body = lambda c, i: step_fn(c, i, tp, data)
+                return jax.lax.scan(body, latents, start + jnp.arange(n))[0]
+
+            return run_range
+
+        run2, run3 = _range_runner(False), _range_runner(True)
+
         def run(data):
+            # chunked dispatch (bounded XLA programs, no host fetches between
+            # chunks — see core/device.SCAN_CHUNK)
             latents = data["latents0"]
             for seg in segments:
-                body = lambda c, i, tp=seg.three_pass: step_fn(c, i, tp, data)
-                latents, _ = jax.lax.scan(body, latents, jnp.arange(seg.start, seg.stop))
+                runner = run3 if seg.three_pass else run2
+                i = seg.start
+                while i < seg.stop:
+                    n = min(SCAN_CHUNK, seg.stop - i)
+                    latents = runner(latents, data, jnp.int32(i), n)
+                    i += n
             return latents
 
         data = {

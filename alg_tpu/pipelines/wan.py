@@ -447,14 +447,33 @@ class WanPipeline:
             new_latents, new_state = unipc_step(sched_plan, i, noise_pred, latents, state)
             return (new_latents.astype(jnp.float32), new_state), ()
 
-        @jax.jit
+        import functools as _ft
+
+        from alg_tpu.core.device import SCAN_CHUNK
+
+        def _range_runner(tp):
+            @_ft.partial(jax.jit, static_argnames=("n",))
+            def run_range(carry, data, start, n):
+                body = lambda c, i: step_fn(c, i, tp, data)
+                return jax.lax.scan(body, carry, start + jnp.arange(n))[0]
+
+            return run_range
+
+        run2, run3 = _range_runner(False), _range_runner(True)
+
         def run(data):
+            # chunked dispatch (bounded XLA programs, no host fetches between
+            # chunks — see core/device.SCAN_CHUNK); UniPC state rides the carry
             latents = data["latents0"]
             state = unipc_init_state(sched_plan, latents.shape)
             carry = (latents, state)
             for seg in lp_plan.segments:
-                body = lambda c, i, tp=seg.three_pass and do_cfg and alg: step_fn(c, i, tp, data)
-                carry, _ = jax.lax.scan(body, carry, jnp.arange(seg.start, seg.stop))
+                runner = run3 if (seg.three_pass and do_cfg and alg) else run2
+                i = seg.start
+                while i < seg.stop:
+                    n = min(SCAN_CHUNK, seg.stop - i)
+                    carry = runner(carry, data, jnp.int32(i), n)
+                    i += n
             return carry[0]
 
         data = {
