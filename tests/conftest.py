@@ -1,7 +1,15 @@
-"""Test env: force CPU with an 8-device virtual mesh before JAX initializes.
+"""Test env: request CPU with an 8-device virtual mesh before JAX initializes.
 
 This is the framework's substitute for multi-chip hardware (SURVEY §4 item 5):
-sharding/pjit tests run against ``--xla_force_host_platform_device_count=8``.
+sharding/pjit tests run against ``--xla_force_host_platform_device_count=8``
+via explicit ``jax.local_devices(backend="cpu")`` meshes.
+
+Caveat (axon tunnel): the axon plugin IGNORES ``JAX_PLATFORMS=cpu`` — on the
+dev box the default backend stays the real TPU chip and non-mesh tests run
+there (hence the compile-dominated ~30 min suite). The explicit cpu-backend
+meshes are unaffected. On machines without the plugin this forces CPU as
+written. Consequence: never run the suite concurrently with bench.py — two
+processes on the one tunneled chip crash the TPU worker.
 """
 
 import os
