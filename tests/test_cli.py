@@ -201,8 +201,8 @@ video:
         timeout=560,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
-    # no ffmpeg in this environment → GIF fallback
-    written = out_path if out_path.exists() else tmp_path / "out.gif"
+    # no ffmpeg in this environment → true-color MJPEG-AVI fallback
+    written = out_path if out_path.exists() else tmp_path / "out.avi"
     assert written.exists() and written.stat().st_size > 0
     assert "Run complete" in proc.stdout
 
