@@ -173,13 +173,15 @@ def serve_batch(
 
 
 def shard_pipeline(pipeline, mesh: Mesh):
-    """Place a pipeline's DiT on the mesh (TP×DP) and return a copy.
+    """Place a pipeline's DiT on the mesh (dp×sp×tp) and return a copy.
 
     Works for all three backbones — the partition specs are selected by
     pipeline type. Data (latents/conditions) shards along ``dp`` automatically
     once inputs are placed; XLA GSPMD inserts the TP collectives from the
     weight layout; attention inside the sampler runs through a shard_map'd
-    fused kernel (``attn_mesh``).
+    fused kernel (``attn_mesh``). A mesh with a non-unit ``sp`` axis
+    additionally shards the DiT query tokens in attention (all-gathered KV —
+    long-context relief); the joint sequence length must divide ``sp``.
     """
     import dataclasses as _dc
 

@@ -198,7 +198,7 @@ video:
         capture_output=True,
         text=True,
         env=env,
-        timeout=560,
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     # no ffmpeg in this environment → true-color MJPEG-AVI fallback
