@@ -187,6 +187,44 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
     return fn(*args)
 
 
+def _apply_prolog_xla(q, k, prolog):
+    """Reference (XLA) application of the qk prolog — numerically identical
+    to the in-kernel fused path: per-head norm (fp32 stats, cast back), then
+    interleaved RoPE in the activation dtype."""
+
+    def norm(x, scale, bias):
+        mode = prolog.get("norm")
+        if mode is None:
+            return x
+        xf = x.astype(jnp.float32)
+        if mode == "layer":
+            mu = xf.mean(-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + prolog["eps"])
+            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        elif mode == "rms":
+            y = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + prolog["eps"])
+            y = y * scale.astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown prolog norm {mode!r}")
+        return y.astype(x.dtype)
+
+    def rope(x):
+        cos = prolog.get("cos")
+        if cos is None:
+            return x
+        c = jnp.asarray(cos, x.dtype)
+        s = jnp.asarray(prolog["sin"], x.dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[-1],), 0)
+        even = (lane % 2) == 0
+        rot = jnp.where(even, -jnp.roll(x, -1, axis=-1), jnp.roll(x, 1, axis=-1))
+        return x * c + rot * s
+
+    q = rope(norm(q, prolog.get("q_scale"), prolog.get("q_bias")))
+    k = rope(norm(k, prolog.get("k_scale"), prolog.get("k_bias")))
+    return q, k
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -197,6 +235,7 @@ def attention(
     bias: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     stable: bool = True,
+    prolog: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over ``[B, H, S, D]`` tensors.
 
@@ -206,10 +245,20 @@ def attention(
     ``stable=False`` selects the bounded-logit fast path (no running max,
     ~2x faster at head_dim 64) — safe for trained DiT attention where
     |logit| ≪ 80; keep True for text encoders and anything adversarial.
+
+    ``prolog``: optional fused qk prolog — dict with keys
+    ``norm`` ("layer"|"rms"|None), ``eps``, ``q_scale``/``q_bias``/
+    ``k_scale``/``k_bias`` ([d] per-head norm affines), ``cos``/``sin``
+    ([S, d] interleaved RoPE tables). On the single-device Pallas path the
+    transforms run inside the flash kernel (VPU work overlapped under the
+    MXU — saves the XLA materialization passes); on XLA/mesh paths they are
+    applied up front with identical numerics.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if _MESH_CTX is not None and impl == "auto" and bias is None:
+        if prolog is not None:
+            q, k = _apply_prolog_xla(q, k, prolog)
         return _shard_map_attention(q, k, v, scale, causal, kv_len, stable)
     if impl == "auto":
         if _IMPL_OVERRIDE is not None:
@@ -217,7 +266,22 @@ def attention(
         else:
             impl = "pallas" if supports_flash(q, k, v, bias) else "xla"
     if impl == "pallas":
+        if prolog is not None:
+            return flash_attention(
+                q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias,
+                stable=stable,
+                qk_norm=prolog.get("norm"),
+                norm_eps=prolog.get("eps", 1e-6),
+                q_norm_scale=prolog.get("q_scale"),
+                q_norm_bias=prolog.get("q_bias"),
+                k_norm_scale=prolog.get("k_scale"),
+                k_norm_bias=prolog.get("k_bias"),
+                rope_cos=prolog.get("cos"),
+                rope_sin=prolog.get("sin"),
+            )
         return flash_attention(
             q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias, stable=stable
         )
+    if prolog is not None:
+        q, k = _apply_prolog_xla(q, k, prolog)
     return _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len, bias=bias)

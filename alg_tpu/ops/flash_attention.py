@@ -24,10 +24,21 @@ Perf design (measured on v5e at the CogVideoX shape, B2·H48·S17776·D64):
   * The softmax scale (and base-2 change of base) is applied to the logits
     tile in-kernel instead of pre-scaling Q host-side — saves a full XLA
     elementwise pass over Q per call.
+  * Fused qk prolog: the DiT's per-head qk LayerNorm/RMSNorm and the
+    interleaved-pair RoPE can run *inside* the kernel on the q/k tiles
+    (``qk_norm`` / ``rope_cos``/``rope_sin``). As XLA fusions these two cost
+    ~0.55 s per 42-layer forward purely in [B,H,S,D] materialization; as
+    in-kernel VPU work on tiles they overlap the MXU passes. The transformed
+    q block is computed once per (bh, qi) into scratch; k tiles transform per
+    step. RoPE's pair rotation uses lane rolls + an even/odd select (never
+    crosses a pair boundary), with cos/sin streamed as bf16 blocks.
   * Q and K/V rows are zero-padded to their block sizes. (A ragged query
     grid relying on masked boundary blocks was tried and is FASTER, but the
     out-of-bounds boundary DMAs intermittently killed the TPU worker at
     production shapes inside large compiled programs — do not reintroduce.)
+    With the fused prolog, padded K rows become ``bias_k``-valued after the
+    norm — harmless: the in-kernel ones column (and V rows) are zero there,
+    so padded keys still contribute nothing to numerator or denominator.
 """
 
 from __future__ import annotations
@@ -57,14 +68,26 @@ def supports_flash(q, k, v, bias) -> bool:
     return True
 
 
+def _rope_rot(x):
+    """Interleaved-pair rotation (x0,x1)→(−x1,x0) via lane rolls (no reshape).
+    The even-lane mask is built as a full-rank 2D iota — Mosaic cannot
+    relayout a 1D→2D boolean broadcast at large sublane counts."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    even = (lane % 2) == 0
+    return jnp.where(even, -jnp.roll(x, -1, axis=-1), jnp.roll(x, 1, axis=-1))
+
+
 def _fwd_kernel(
     kv_len_ref,  # [B] int32 scalar-prefetch (or [1] dummy)
     q_ref,  # [1, bq, d]
     k_ref,  # [1, bk, d]
     v_ref,  # [1, bk, d]
     bias_ref,  # [1, bq, bk] or None
+    norm_refs,  # (q_scale, [q_bias], k_scale, [k_bias]) each [1, d], or ()
+    rope_refs,  # (cos_q [bq, d], sin_q, cos_k [bk, d], sin_k) or ()
     o_ref,  # [1, bq, d]
-    *scratch,  # acc [bq, d_acc] f32; then m [bq, 128] if stable; then l [bq, 128] if not fused
+    scratch,  # dict: acc [bq, d_acc] f32; m [bq,128] if stable; l if not fused; qt [bq, d] if prolog
+    *,
     scale: float,
     causal: bool,
     use_kv_len: bool,
@@ -78,15 +101,54 @@ def _fwd_kernel(
     fused: bool,
     d: int,
     d_aug: int,
+    qk_norm: Optional[str],
+    norm_eps: float,
+    has_rope: bool,
+    prolog_k: bool,
 ):
-    acc_scr = scratch[0]
-    m_scr = scratch[1] if stable else None
-    l_scr = scratch[-1] if not fused else None
+    acc_scr = scratch["acc"]
+    m_scr = scratch.get("m")
+    l_scr = scratch.get("l")
+    qt_scr = scratch.get("qt")
 
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+
+    def transform(x, scale_ref, bias_ref_, cos_ref, sin_ref):
+        """Per-head norm + interleaved RoPE on a [n, d] tile (VPU, overlapped)."""
+        if qk_norm == "layer":
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(axis=-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+            xf = (xf - mu) * jax.lax.rsqrt(var + norm_eps)
+            xf = xf * scale_ref[0].astype(jnp.float32) + bias_ref_[0].astype(jnp.float32)
+            x = xf.astype(x.dtype)
+        elif qk_norm == "rms":
+            xf = x.astype(jnp.float32)
+            xf = xf * jax.lax.rsqrt((xf * xf).mean(axis=-1, keepdims=True) + norm_eps)
+            x = (xf * scale_ref[0].astype(jnp.float32)).astype(x.dtype)
+        if has_rope:
+            c = cos_ref[...].astype(x.dtype)
+            s = sin_ref[...].astype(x.dtype)
+            x = x * c + _rope_rot(x) * s
+        return x
+
+    has_prolog = qk_norm is not None or has_rope
+    if has_prolog:
+        qs = norm_refs[0] if qk_norm else None
+        qb = norm_refs[1] if qk_norm == "layer" else None
+        ks = kb = ck = sk_t = None
+        if prolog_k and qk_norm:
+            ks = norm_refs[-2 if qk_norm == "layer" else -1]
+            kb = norm_refs[-1] if qk_norm == "layer" else None
+        if has_rope:
+            cq, sq_t = rope_refs[0], rope_refs[1]
+            if prolog_k:
+                ck, sk_t = rope_refs[2], rope_refs[3]
+        else:
+            cq = sq_t = None
 
     @pl.when(ki == 0)
     def _init():
@@ -95,12 +157,14 @@ def _fwd_kernel(
             m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         if not fused:
             l_scr[:] = jnp.zeros_like(l_scr)
+        if has_prolog:
+            qt_scr[:] = transform(q_ref[0], qs, qb, cq, sq_t)
 
     q_start = qi * block_q
     k_start = ki * block_k
 
     # skip blocks entirely above the causal diagonal (offsets in ORIGINAL
-    # coordinates: q is unpadded, k padding sits beyond sk_orig)
+    # coordinates: k padding sits beyond sk_orig)
     run = True
     if causal:
         run = k_start <= q_start + (sk_orig - sq_orig) + block_q - 1
@@ -111,8 +175,8 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]
-        k = k_ref[0]
+        q = qt_scr[:] if has_prolog else q_ref[0]
+        k = transform(k_ref[0], ks, kb, ck, sk_t) if (has_prolog and prolog_k) else k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
@@ -122,7 +186,7 @@ def _fwd_kernel(
         # effectively free) VPU pass as the masks below
         s = s * (scale * LOG2E)
         if bias_ref is not None:
-            s = s + bias_ref[0].astype(jnp.float32) * LOG2E
+            s = s + bias_ref[0, 0].astype(jnp.float32) * LOG2E
 
         if causal:
             col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -208,7 +272,8 @@ def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "causal", "block_q", "block_k", "stable")
+    jax.jit,
+    static_argnames=("scale", "causal", "block_q", "block_k", "stable", "qk_norm", "norm_eps", "prolog_k"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -221,10 +286,21 @@ def flash_attention(
     block_q: int = 1024,
     block_k: int = 2048,
     stable: bool = True,
+    qk_norm: Optional[str] = None,  # None | "layer" | "rms"
+    norm_eps: float = 1e-6,
+    q_norm_scale: Optional[jnp.ndarray] = None,  # [d]
+    q_norm_bias: Optional[jnp.ndarray] = None,  # [d] ("layer" only)
+    k_norm_scale: Optional[jnp.ndarray] = None,
+    k_norm_bias: Optional[jnp.ndarray] = None,
+    rope_cos: Optional[jnp.ndarray] = None,  # [S, d] (S >= Sk)
+    rope_sin: Optional[jnp.ndarray] = None,
+    prolog_k: bool = True,
 ) -> jnp.ndarray:
     """Flash attention over ``[B, H, S, D]``. Sequence dims are zero-padded
     to block multiples; padded keys are handled masklessly by the fused
-    path's valid-row ones column, padded queries are sliced off."""
+    path's valid-row ones column, padded queries are sliced off. Optional
+    fused qk prolog: per-head ``qk_norm`` then RoPE applied in-kernel (tables
+    shared by q and k — self-attention positions)."""
     b, h, sq_orig, d = q.shape
     sk_orig = k.shape[2]
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
@@ -236,6 +312,10 @@ def flash_attention(
     # fused row-sum only when head_dim leaves idle MXU output lanes
     d_aug = -(-(d + 1) // 128) * 128
     fused = d % 128 != 0
+
+    has_rope = rope_cos is not None
+    if has_rope and sq_orig != sk_orig:
+        raise ValueError("fused RoPE assumes self-attention (Sq == Sk)")
 
     qp = _pad_to(q, sq, 2).reshape(b * h, sq, d)
     kp = _pad_to(k, sk, 2).reshape(b * h, sk, d)
@@ -252,6 +332,7 @@ def flash_attention(
         pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, _kv: (bh, ki, 0), memory_space=pltpu.VMEM),
     ]
     operands = [qp, kp, vp]
+    n_bias = 0
     if has_bias:
         bias_b = jnp.broadcast_to(bias, (1,) + bias.shape[-3:]) if bias.ndim == 4 else bias[None]
         bias_full = _pad_to(_pad_to(bias_b.astype(jnp.float32), sq, -2), sk, -1)
@@ -264,8 +345,43 @@ def flash_attention(
             )
         )
         operands.append(bias_full)
-    else:
-        in_specs.append(None)
+        n_bias = 1
+
+    n_norm = 0
+    if qk_norm is not None:
+        if qk_norm not in ("layer", "rms"):
+            raise ValueError(f"qk_norm must be 'layer' or 'rms', got {qk_norm!r}")
+        norm_arrs = [q_norm_scale]
+        if qk_norm == "layer":
+            norm_arrs.append(q_norm_bias)
+        if prolog_k:
+            norm_arrs.append(k_norm_scale)
+            if qk_norm == "layer":
+                norm_arrs.append(k_norm_bias)
+        for arr in norm_arrs:
+            in_specs.append(
+                pl.BlockSpec((1, d), lambda bh, qi, ki, _kv: (0, 0), memory_space=pltpu.VMEM)
+            )
+            operands.append(jnp.asarray(arr).reshape(1, d))
+        n_norm = len(norm_arrs)
+
+    n_rope = 0
+    if has_rope:
+        # one bf16-for-bf16 table pair, streamed twice (q blocks and k blocks)
+        smax = max(sq, sk)
+        cos_p = _pad_to(jnp.asarray(rope_cos, q.dtype), smax, 0)
+        sin_p = _pad_to(jnp.asarray(rope_sin, q.dtype), smax, 0)
+        in_specs.append(pl.BlockSpec((block_q, d), lambda bh, qi, ki, _kv: (qi, 0), memory_space=pltpu.VMEM))
+        operands.append(cos_p)
+        in_specs.append(pl.BlockSpec((block_q, d), lambda bh, qi, ki, _kv: (qi, 0), memory_space=pltpu.VMEM))
+        operands.append(sin_p)
+        n_rope = 2
+        if prolog_k:
+            in_specs.append(pl.BlockSpec((block_k, d), lambda bh, qi, ki, _kv: (ki, 0), memory_space=pltpu.VMEM))
+            operands.append(cos_p)
+            in_specs.append(pl.BlockSpec((block_k, d), lambda bh, qi, ki, _kv: (ki, 0), memory_space=pltpu.VMEM))
+            operands.append(sin_p)
+            n_rope = 4
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -282,29 +398,39 @@ def flash_attention(
         fused=fused,
         d=d,
         d_aug=d_aug,
+        qk_norm=qk_norm,
+        norm_eps=norm_eps,
+        has_rope=has_rope,
+        prolog_k=prolog_k,
     )
 
     d_acc = d_aug if fused else d
     scratch_shapes = [pltpu.VMEM((block_q, d_acc), jnp.float32)]  # acc (+ fused Σp)
+    scratch_keys = ["acc"]
     if stable:
         scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))  # m
+        scratch_keys.append("m")
     if not fused:
         scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))  # l
+        scratch_keys.append("l")
+    if qk_norm is not None or has_rope:
+        scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))  # transformed q
+        scratch_keys.append("qt")
 
-    # drop the None bias spec when absent; kernel signature adapts
-    if not has_bias:
-        in_specs = in_specs[:3]
-
-        def kernel_nobias(kv_len_ref, q_ref, k_ref, v_ref, o_ref, *scr):
-            return kernel(kv_len_ref, q_ref, k_ref, v_ref, None, o_ref, *scr)
-
-        body = kernel_nobias
-    else:
-        def kernel_bias(kv_len_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *scr):
-            # bias block arrives as [1, 1, bq, bk]; squeeze the leading dim
-            return kernel(kv_len_ref, q_ref, k_ref, v_ref, bias_ref[0], o_ref, *scr)
-
-        body = kernel_bias
+    def body(kv_len_ref, *refs):
+        i = 0
+        q_ref, k_ref, v_ref = refs[i], refs[i + 1], refs[i + 2]
+        i += 3
+        bias_ref = refs[i] if n_bias else None
+        i += n_bias
+        norm_refs = refs[i : i + n_norm]
+        i += n_norm
+        rope_refs = refs[i : i + n_rope]
+        i += n_rope
+        o_ref = refs[i]
+        i += 1
+        scratch = dict(zip(scratch_keys, refs[i:]))
+        return kernel(kv_len_ref, q_ref, k_ref, v_ref, bias_ref, norm_refs, rope_refs, o_ref, scratch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
