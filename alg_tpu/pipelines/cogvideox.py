@@ -80,6 +80,10 @@ class CogVideoXPipeline:
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     # (set by serving.shard_pipeline; see alg_tpu.ops.attention)
     attn_mesh: Any = None
+    # cooperative interruption (reference ``self._interrupt`` checked each
+    # step): set True (e.g. from a step_observer or another thread) to stop
+    # after the current scan chunk; the partial latents are returned
+    interrupt: bool = dataclasses.field(default=False, compare=False)
 
     @property
     def vae_scale_factor_spatial(self) -> int:
@@ -486,6 +490,8 @@ class CogVideoXPipeline:
                 runner = run3 if (seg.three_pass and do_cfg and alg) else run2
                 i = seg.start
                 while i < seg.stop:
+                    if self.interrupt:
+                        break
                     n = min(SCAN_CHUNK, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
@@ -525,6 +531,8 @@ class CogVideoXPipeline:
                 for seg in lp_plan.segments:
                     f = step3 if (seg.three_pass and do_cfg and alg) else step2
                     for i in range(seg.start, seg.stop):
+                        if self.interrupt:
+                            return carry[0]
                         carry = f(carry, i, data)
                         step_observer(i, np.asarray(carry[0]))
                 return carry[0]

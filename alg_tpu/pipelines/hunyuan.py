@@ -90,6 +90,10 @@ class HunyuanVideoPipeline:
     dtype: Any = jnp.float32
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     attn_mesh: Any = None
+    # cooperative interruption (reference ``self._interrupt`` checked each
+    # step): set True (e.g. from a step_observer or another thread) to stop
+    # after the current scan chunk; the partial latents are returned
+    interrupt: bool = dataclasses.field(default=False, compare=False)
 
     @property
     def vae_scale_factor_spatial(self) -> int:
@@ -567,6 +571,8 @@ class HunyuanVideoPipeline:
                 runner = run3 if seg.three_pass else run2
                 i = seg.start
                 while i < seg.stop:
+                    if self.interrupt:
+                        break
                     n = min(SCAN_CHUNK, seg.stop - i)
                     latents = runner(latents, data, jnp.int32(i), n)
                     i += n
@@ -605,6 +611,8 @@ class HunyuanVideoPipeline:
                 for seg in segments:
                     f = step3 if seg.three_pass else step2
                     for i in range(seg.start, seg.stop):
+                        if self.interrupt:
+                            return latents
                         latents = f(latents, i, data)
                         step_observer(i, np.asarray(latents))
                 return latents

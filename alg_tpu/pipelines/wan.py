@@ -81,6 +81,10 @@ class WanPipeline:
     dtype: Any = jnp.float32
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     attn_mesh: Any = None
+    # cooperative interruption (reference ``self._interrupt`` checked each
+    # step): set True (e.g. from a step_observer or another thread) to stop
+    # after the current scan chunk; the partial latents are returned
+    interrupt: bool = dataclasses.field(default=False, compare=False)
 
     @property
     def vae_scale_factor_spatial(self) -> int:
@@ -471,6 +475,8 @@ class WanPipeline:
                 runner = run3 if (seg.three_pass and do_cfg and alg) else run2
                 i = seg.start
                 while i < seg.stop:
+                    if self.interrupt:
+                        break
                     n = min(SCAN_CHUNK, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
@@ -507,6 +513,8 @@ class WanPipeline:
                 for seg in lp_plan.segments:
                     f = step3 if (seg.three_pass and do_cfg and alg) else step2
                     for i in range(seg.start, seg.stop):
+                        if self.interrupt:
+                            return carry[0]
                         carry = f(carry, i, data)
                         step_observer(i, np.asarray(carry[0]))
                 return carry[0]
