@@ -200,3 +200,110 @@ def test_resnet_block_torch_golden(rng, zq_mode):
         _torch_resnet(p, _to_ncdhw(x), groups, eps, _to_ncdhw(zq) if zq_mode else None)
     )
     np.testing.assert_allclose(out_jax, out_t, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# full encoder / decoder composition (channel progression, downsample manual
+# padding, causal temporal pool/upsample placement, MoVQ zq threading through
+# every decoder resnet, final norms)
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv2d_per_frame(p, x_ncdhw, stride=1, manual_pad=None):
+    """2D conv applied per frame; weight [kh, kw, cin, cout] JAX-layout."""
+    w = _t(p["kernel"]).permute(3, 2, 0, 1)
+    b = _t(p["bias"])
+    bsz, c, f, h, ww = x_ncdhw.shape
+    xf = x_ncdhw.permute(0, 2, 1, 3, 4).reshape(bsz * f, c, h, ww)
+    if manual_pad is not None:
+        (pt, pb), (pl, pr) = manual_pad
+        xf = F.pad(xf, (pl, pr, pt, pb))
+        y = F.conv2d(xf, w, b, stride=stride)
+    else:
+        kh = w.shape[2]
+        y = F.conv2d(F.pad(xf, (kh // 2,) * 4), w, b, stride=stride)
+    return y.reshape(bsz, f, y.shape[1], y.shape[2], y.shape[3]).permute(0, 2, 1, 3, 4)
+
+
+def _torch_temporal_pool2(x):
+    b, c, f, h, w = x.shape
+    if f == 1:
+        return x
+    flat = x.permute(0, 1, 3, 4, 2).reshape(b * c * h * w, 1, f)
+    if f % 2 == 1:
+        first, rest = flat[..., :1], flat[..., 1:]
+        pooled = torch.cat([first, F.avg_pool1d(rest, 2, 2)], dim=-1)
+    else:
+        pooled = F.avg_pool1d(flat, 2, 2)
+    fo = pooled.shape[-1]
+    return pooled.reshape(b, c, h, w, fo).permute(0, 1, 4, 2, 3)
+
+
+def _torch_temporal_upsample2(x):
+    if x.shape[2] == 1:
+        return x
+    first, rest = x[:, :, :1], x[:, :, 1:]
+    return torch.cat([first, torch.repeat_interleave(rest, 2, dim=2)], dim=2)
+
+
+def test_full_vae_encode_decode_torch_golden(rng):
+    from alg_tpu.models.cogvideox.vae import (
+        CogVideoXVAEConfig,
+        cogvideox_vae_decode,
+        cogvideox_vae_encode,
+        init_cogvideox_vae,
+    )
+
+    cfg = CogVideoXVAEConfig(
+        block_out_channels=(8, 8, 16, 16), latent_channels=4, layers_per_block=1,
+        norm_num_groups=4,
+    )
+    params = init_cogvideox_vae(jax.random.PRNGKey(4), cfg)
+    params = _randomize(params, seed=21, scale=0.25)
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    n = len(cfg.block_out_channels)
+
+    def t_encode(x):
+        enc = params["encoder"]
+        h = _torch_causal_conv3d(enc["conv_in"], x)
+        for i, blk in enumerate(enc["down"]):
+            for r in blk["resnets"]:
+                h = _torch_resnet(r, h, g, eps)
+            if "downsample" in blk:
+                if i < cfg.temporal_compress_level:
+                    h = _torch_temporal_pool2(h)
+                h = _torch_conv2d_per_frame(blk["downsample"]["conv"], h, stride=2,
+                                            manual_pad=((0, 1), (0, 1)))
+        for r in enc["mid"]:
+            h = _torch_resnet(r, h, g, eps)
+        h = F.silu(_torch_group_norm(enc["norm_out"], h, g, eps))
+        h = _torch_causal_conv3d(enc["conv_out"], h)
+        return h.chunk(2, dim=1)
+
+    def t_decode(z):
+        dec = params["decoder"]
+        zq = z
+        h = _torch_causal_conv3d(dec["conv_in"], z)
+        for r in dec["mid"]:
+            h = _torch_resnet(r, h, g, eps, zq_ncdhw=zq)
+        for i, blk in enumerate(dec["up"]):
+            for r in blk["resnets"]:
+                h = _torch_resnet(r, h, g, eps, zq_ncdhw=zq)
+            if "upsample" in blk:
+                if i < cfg.temporal_compress_level:
+                    h = _torch_temporal_upsample2(h)
+                h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
+                h = _torch_conv2d_per_frame(blk["upsample"]["conv"], h)
+        h = F.silu(_torch_spatial_norm(dec["norm_out"], h, zq, g, eps))
+        return _torch_causal_conv3d(dec["conv_out"], h)
+
+    x = rng.randn(1, 5, 32, 32, 3).astype(np.float32)
+    mean_j, logvar_j = cogvideox_vae_encode(params, cfg, jnp.asarray(x))
+    mean_t, logvar_t = t_encode(_to_ncdhw(x))
+    np.testing.assert_allclose(np.asarray(mean_j), _from_ncdhw(mean_t), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(logvar_j), _from_ncdhw(logvar_t), atol=5e-4)
+
+    z = np.asarray(mean_j)  # [B, F', h, w, zc]
+    rec_j = cogvideox_vae_decode(params, cfg, jnp.asarray(z))
+    rec_t = t_decode(_to_ncdhw(z))
+    np.testing.assert_allclose(np.asarray(rec_j), _from_ncdhw(rec_t), atol=2e-3)
