@@ -1,0 +1,104 @@
+"""Opt-in W8A8 int8 quantization for DiT serving (beyond-parity perf mode).
+
+v5e's MXU runs int8×int8→int32 at ~360 TOP/s vs ~196 TFLOP/s bf16 (measured;
+`docs/PERF.md`). Weight-only int8 would not speed up these compute-bound
+matmuls, so this is W8A8: per-output-channel static weight scales +
+per-row dynamic activation scales (absmax), int32 accumulation, fused
+dequant epilogue — ~27% faster per DiT linear end-to-end, and the
+transformer weights halve in HBM (and in host→device streaming time).
+
+This mode changes numerics (int8 is not bf16) — it is NEVER used by default
+and not by `bench.py`; quality must be validated per checkpoint. Apply with
+
+    pipe = quantize_pipeline(pipe)
+
+which quantizes the big block linears (attention projections, MLPs) of the
+transformer and leaves embeddings, modulation projections, and output heads
+in the original dtype (their FLOPs are negligible and AdaLN precision
+matters).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel(kernel: jnp.ndarray):
+    """Per-output-channel symmetric int8: kernel [..., in, out] →
+    (int8 kernel, f32 scale [..., 1, out])."""
+    w = np.asarray(kernel, np.float32)
+    absmax = np.max(np.abs(w), axis=-2, keepdims=True)  # over the IN axis
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return jnp.asarray(wq), jnp.asarray(scale, jnp.float32)
+
+
+def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 linear: dynamic per-row activation absmax quant, int8 MXU matmul
+    with int32 accumulation, dequant epilogue. ``p``: {"kernel_q", "w_scale"
+    [, "bias"]}."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    xs = jnp.maximum(xs, 1e-12)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, p["kernel_q"],
+        (((x.ndim - 1,), (p["kernel_q"].ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    w_scale = p["w_scale"].reshape((p["w_scale"].shape[-1],))
+    y = acc.astype(jnp.float32) * xs * w_scale
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _is_big_linear(leaf_parent: dict) -> bool:
+    k = leaf_parent.get("kernel")
+    if k is None or k.ndim < 2:
+        return False
+    # quantize only the wide block linears where the FLOPs are
+    return k.shape[-1] >= 128 and k.shape[-2] >= 128
+
+
+_BLOCK_KEYS = ("blocks", "transformer_blocks", "single_transformer_blocks")
+
+
+def _quantize_tree(node: Any, name: str = "") -> Any:
+    if not isinstance(node, dict):
+        return node
+    # keep AdaLN/modulation projections full-precision: their outputs gate
+    # every residual and their FLOPs are negligible
+    if "norm" in name or name == "ada":
+        return node
+    if "kernel" in node and _is_big_linear(node):
+        # stacked [L, in, out] kernels quantize per (L, out) channel
+        kq, scale = quantize_kernel(node["kernel"])
+        out = {"kernel_q": kq, "w_scale": scale}
+        if "bias" in node:
+            out["bias"] = node["bias"]
+        return out
+    return {k: _quantize_tree(v, k) for k, v in node.items()}
+
+
+def quantize_transformer_params(params: dict) -> dict:
+    """Quantize the big linears inside the DiT block stacks; everything
+    outside the blocks (embeddings, heads, modulation tables) is untouched."""
+    out = dict(params)
+    for key in _BLOCK_KEYS:
+        if key in out:
+            out[key] = _quantize_tree(out[key])
+    return out
+
+
+def quantize_pipeline(pipe):
+    """Return a copy of a pipeline with its transformer blocks W8A8-quantized."""
+    import dataclasses
+
+    return dataclasses.replace(
+        pipe, transformer_params=quantize_transformer_params(pipe.transformer_params)
+    )

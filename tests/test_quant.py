@@ -1,0 +1,98 @@
+"""Opt-in W8A8 int8 serving mode (alg_tpu.ops.quant) — mechanics and e2e."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.models import layers as L
+from alg_tpu.ops.quant import (
+    quantize_kernel,
+    quantize_pipeline,
+    quantize_transformer_params,
+    quantized_linear,
+)
+
+
+def test_quantized_linear_matches_numpy_reference(rng):
+    x = rng.randn(3, 17, 256).astype(np.float32)
+    w = rng.randn(256, 384).astype(np.float32) * 0.05
+    b = rng.randn(384).astype(np.float32)
+    kq, scale = quantize_kernel(jnp.asarray(w))
+    p = {"kernel_q": kq, "w_scale": scale, "bias": jnp.asarray(b)}
+    out = np.asarray(quantized_linear(p, jnp.asarray(x)))
+
+    # numpy mirror of the scale math
+    xs = np.maximum(np.abs(x).max(-1, keepdims=True) / 127.0, 1e-12)
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
+    acc = xq.astype(np.int32) @ np.asarray(kq, np.int32)
+    ref = acc.astype(np.float32) * xs * np.asarray(scale).reshape(-1) + b
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+    # and close to the full-precision result (int8 granularity)
+    fp = x @ w + b
+    rel = np.abs(out - fp).max() / np.abs(fp).max()
+    assert rel < 0.02, rel
+
+
+def test_quantize_skips_modulation_and_small_layers():
+    from alg_tpu.models.cogvideox import CogVideoXTransformerConfig, init_cogvideox_transformer
+
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=8, out_channels=4,
+        time_embed_dim=128, text_embed_dim=128, num_layers=2,
+        sample_height=8, sample_width=8, max_text_seq_length=5,
+    )
+    params = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    qp = quantize_transformer_params(params)
+
+    # attention + ff quantized (stacked [L, in, out] → int8 + [L, 1, out] scales)
+    assert "kernel_q" in qp["blocks"]["attn"]["to_q"]
+    assert qp["blocks"]["attn"]["to_q"]["kernel_q"].dtype == jnp.int8
+    assert qp["blocks"]["ff"]["fc_in"]["w_scale"].shape[0] == cfg.num_layers
+    # modulation projections stay full precision
+    assert "kernel" in qp["blocks"]["norm1"]["linear"]
+    # non-block trees untouched
+    assert "kernel" in qp["patch_embed"]["proj"]
+
+
+def test_quantized_pipeline_end_to_end_close_to_fp(rng):
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        CogVideoXVAEConfig,
+        init_cogvideox_transformer,
+        init_cogvideox_vae,
+    )
+    from alg_tpu.pipelines import CogVideoXPipeline
+
+    tcfg = CogVideoXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=8, out_channels=4,
+        time_embed_dim=128, text_embed_dim=128, num_layers=2,
+        sample_height=8, sample_width=8, max_text_seq_length=5,
+    )
+    vcfg = CogVideoXVAEConfig(
+        block_out_channels=(8, 16, 16, 32), latent_channels=4, layers_per_block=1,
+        norm_num_groups=4,
+    )
+    pipe = CogVideoXPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg),
+        vae_cfg=vcfg,
+        vae_params=init_cogvideox_vae(jax.random.PRNGKey(1), vcfg),
+    )
+    kwargs = dict(
+        image=np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1,
+        prompt_embeds=jnp.asarray(rng.randn(1, 5, 128).astype(np.float32)),
+        negative_prompt_embeds=jnp.asarray(rng.randn(1, 5, 128).astype(np.float32)),
+        height=32, width=32, num_frames=5, num_inference_steps=2,
+        guidance_scale=6.0, seed=42, output_type="latent",
+    )
+    fp = pipe(**kwargs)
+    qpipe = quantize_pipeline(pipe)
+    q = qpipe(**kwargs)
+    assert q.shape == fp.shape
+    assert np.isfinite(q).all()
+    # int8 changes numerics; the trajectories must stay strongly correlated
+    corr = np.corrcoef(np.asarray(q).ravel(), np.asarray(fp).ravel())[0, 1]
+    assert corr > 0.95, corr
