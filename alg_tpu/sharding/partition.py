@@ -22,12 +22,12 @@ def cogvideox_transformer_specs(params) -> dict:
 
     blocks = params["blocks"]
     block_specs = rep(blocks)
-    block_specs["attn"]["to_q"] = {"kernel": P(None, None, "tp"), "bias": P(None, "tp")}
-    block_specs["attn"]["to_k"] = {"kernel": P(None, None, "tp"), "bias": P(None, "tp")}
-    block_specs["attn"]["to_v"] = {"kernel": P(None, None, "tp"), "bias": P(None, "tp")}
-    block_specs["attn"]["to_out"] = {"kernel": P(None, "tp", None), "bias": P()}
-    block_specs["ff"]["fc_in"] = {"kernel": P(None, None, "tp"), "bias": P(None, "tp")}
-    block_specs["ff"]["fc_out"] = {"kernel": P(None, "tp", None), "bias": P()}
+    block_specs["attn"]["to_q"] = _col(blocks["attn"]["to_q"])
+    block_specs["attn"]["to_k"] = _col(blocks["attn"]["to_k"])
+    block_specs["attn"]["to_v"] = _col(blocks["attn"]["to_v"])
+    block_specs["attn"]["to_out"] = _row(blocks["attn"]["to_out"])
+    block_specs["ff"]["fc_in"] = _col(blocks["ff"]["fc_in"])
+    block_specs["ff"]["fc_out"] = _row(blocks["ff"]["fc_out"])
 
     specs = rep({k: v for k, v in params.items() if k != "blocks"})
     specs["blocks"] = block_specs
@@ -35,16 +35,25 @@ def cogvideox_transformer_specs(params) -> dict:
 
 
 def _col(p) -> dict:
-    """Column-parallel linear: output features sharded."""
-    out = {"kernel": P(None, None, "tp")}
+    """Column-parallel linear: output features sharded. Handles the W8A8
+    form ({kernel_q [L,in,out] int8, w_scale [L,1,out]}, alg_tpu.ops.quant)."""
+    if "kernel_q" in p:
+        out = {"kernel_q": P(None, None, "tp"), "w_scale": P(None, None, "tp")}
+    else:
+        out = {"kernel": P(None, None, "tp")}
     if "bias" in p:
         out["bias"] = P(None, "tp")
     return out
 
 
 def _row(p) -> dict:
-    """Row-parallel linear: input features sharded (XLA adds the all-reduce)."""
-    out = {"kernel": P(None, "tp", None)}
+    """Row-parallel linear: input features sharded (XLA adds the all-reduce
+    around the int32/fp32 accumulator; the dequant scales are per-output and
+    replicate)."""
+    if "kernel_q" in p:
+        out = {"kernel_q": P(None, "tp", None), "w_scale": P()}
+    else:
+        out = {"kernel": P(None, "tp", None)}
     if "bias" in p:
         out["bias"] = P()
     return out

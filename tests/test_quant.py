@@ -96,3 +96,63 @@ def test_quantized_pipeline_end_to_end_close_to_fp(rng):
     # int8 changes numerics; the trajectories must stay strongly correlated
     corr = np.corrcoef(np.asarray(q).ravel(), np.asarray(fp).ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_quantized_pipeline_shards_and_matches_unsharded(rng):
+    """W8A8 + TP×DP serving compose: the quantization-aware partition specs
+    shard kernel_q/w_scale and the sharded result equals the unsharded one."""
+    import jax as _jax
+
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        CogVideoXVAEConfig,
+        init_cogvideox_transformer,
+        init_cogvideox_vae,
+    )
+    from alg_tpu.ops.attention import set_attention_impl
+    from alg_tpu.pipelines import CogVideoXPipeline
+    from alg_tpu.serving import BatchRequest, serve_batch, shard_pipeline
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _jax.local_devices(backend="cpu")
+    if len(cpus) < 8:
+        pytest.skip("need 8 cpu devices")
+    with _jax.default_device(cpus[0]):
+        tcfg = CogVideoXTransformerConfig(
+            num_attention_heads=4, attention_head_dim=32, in_channels=8, out_channels=4,
+            time_embed_dim=128, text_embed_dim=128, num_layers=2,
+            sample_height=4, sample_width=4, max_text_seq_length=5,
+        )
+        vcfg = CogVideoXVAEConfig(
+            block_out_channels=(8, 16, 16, 32), latent_channels=4, layers_per_block=1,
+            norm_num_groups=4,
+        )
+        pipe = CogVideoXPipeline(
+            transformer_cfg=tcfg,
+            transformer_params=init_cogvideox_transformer(_jax.random.PRNGKey(0), tcfg),
+            vae_cfg=vcfg,
+            vae_params=init_cogvideox_vae(_jax.random.PRNGKey(1), vcfg),
+        )
+        pipe = quantize_pipeline(pipe)
+        pipe.encode_prompt = lambda prompts, max_len=226: jnp.asarray(
+            np.random.RandomState(3).randn(len(prompts), 5, 128).astype(np.float32)
+        )
+        r = np.random.RandomState(7)
+        reqs = [
+            BatchRequest(prompt="a", image=r.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=42),
+            BatchRequest(prompt="b", image=r.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=7),
+        ]
+        kwargs = dict(height=32, width=32, num_frames=5, num_inference_steps=2,
+                      guidance_scale=6.0, output_type="latent")
+
+        set_attention_impl("xla")
+        try:
+            ref = serve_batch(pipe, reqs, **kwargs)
+            mesh = make_mesh(dp=2, tp=4, devices=cpus[:8])
+            pipe_sh = shard_pipeline(pipe, mesh)
+            pipe_sh.encode_prompt = pipe.encode_prompt
+            with mesh:
+                out = serve_batch(pipe_sh, reqs, **kwargs)
+        finally:
+            set_attention_impl(None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
