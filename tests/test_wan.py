@@ -263,3 +263,42 @@ def test_clip_text_parity():
     hidden, pooled = clip_text_encode(params, cfg, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(hidden), ref.last_hidden_state.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(pooled), ref.pooler_output.numpy(), atol=2e-4)
+
+
+def test_wan_flf2v_last_image(wan_pipe):
+    """FLF2V: `last_image` conditions the final frame too (reference
+    :403-412, :436-447) — mask marks first AND last pixel frames, the
+    condition video carries the last image, and the full sampler runs."""
+    # mask block semantics
+    mask = wan_pipe._mask_block(1, 9, 3, 4, 4)  # first-frame only
+    mask_fl = wan_pipe._mask_block(1, 9, 3, 4, 4, last_image=object())
+    assert mask.shape == mask_fl.shape == (1, 4, 3, 4, 4)
+    # first latent frame: all 4 repeats set in both
+    np.testing.assert_array_equal(mask[:, :, 0], 1.0)
+    np.testing.assert_array_equal(mask_fl[:, :, 0], 1.0)
+    # last latent frame: only FLF2V marks it (one repeat slot — pixel frame 8)
+    assert mask[:, :, -1].sum() == 0.0
+    assert mask_fl[:, :, -1].sum() > 0.0
+
+    # condition build differs only through the last-frame content
+    rng = np.random.RandomState(3)
+    first = rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    last = rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    cond_plain = np.asarray(wan_pipe._build_condition(first, 1, 9, 32, 32, None))
+    cond_fl = np.asarray(wan_pipe._build_condition(first, 1, 9, 32, 32, last))
+    assert cond_plain.shape == cond_fl.shape == (1, 8, 3, 4, 4)  # 4 mask + 4 latent
+    assert not np.allclose(cond_plain[:, 4:, -1], cond_fl[:, 4:, -1])
+
+    # e2e: the sampler accepts last_image and produces a finite video
+    rng = np.random.RandomState(1)
+    video = wan_pipe(
+        image=first,
+        last_image=last,
+        prompt_embeds=jnp.asarray(rng.randn(1, 7, 8).astype(np.float32)),
+        negative_prompt_embeds=jnp.asarray(rng.randn(1, 7, 8).astype(np.float32)),
+        image_embeds=jnp.asarray(rng.randn(1, 5, 10).astype(np.float32)),
+        height=32, width=32, num_frames=9, num_inference_steps=2,
+        guidance_scale=5.0, seed=42, output_type="np",
+    )
+    assert video.shape == (1, 9, 32, 32, 3)
+    assert np.isfinite(video).all()
