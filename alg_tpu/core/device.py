@@ -27,7 +27,21 @@ import jax.numpy as jnp
 # ("TPU worker process crashed or restarted"); 8-step chunks (~1 min) stay
 # comfortably inside the envelope, and the host dispatches chunks back-to-back
 # without fetches, so the queue never drains and throughput is unchanged.
-SCAN_CHUNK = int(os.environ.get("ALG_TPU_SCAN_CHUNK", "8"))
+def _parse_scan_chunk(raw: str) -> int:
+    """Parse ALG_TPU_SCAN_CHUNK defensively: malformed values fall back to 8
+    (with a warning) and the result is clamped to >= 1 — a non-positive chunk
+    would make every chunked sampler loop spin forever."""
+    try:
+        value = int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"ALG_TPU_SCAN_CHUNK={raw!r} is not an integer; using 8")
+        return 8
+    return max(value, 1)
+
+
+SCAN_CHUNK = _parse_scan_chunk(os.environ.get("ALG_TPU_SCAN_CHUNK", "8"))
 
 
 def sync(x=None) -> None:

@@ -1,17 +1,21 @@
-"""Noise generation with torch-parity.
+"""Noise generation with torch-parity — torch-free at runtime.
 
 The reference draws all stochastic values from a ``torch.Generator`` seeded
 with 42 (``run.py:94``): initial latent noise via diffusers ``randn_tensor``
 and per-sample VAE posterior draws (``...cogvideox...py:388-391,419``). For
 fixed-seed fp32 output parity (BASELINE north star) we reproduce the exact
-draw *sequence* host-side with torch-CPU and feed the result to the jitted
-sampler as an input — the device never needs torch RNG semantics, and the
-compiled graph stays RNG-free (SURVEY §7 "hard parts" #1).
+draw *sequence* host-side and feed the result to the jitted sampler as an
+input — the device never needs torch RNG semantics, and the compiled graph
+stays RNG-free (SURVEY §7 "hard parts" #1).
 
-When torch is unavailable (or parity is not requested) a JAX PRNG fallback is
-used. Noise is always materialized *before* the jit'd loop; per-step schedulers
-here are deterministic (DDIM eta=0 / DPM / flow-match), so no in-loop draws
-are needed for any shipped config.
+Since round 3 the backend is :mod:`alg_tpu.core.torch_rng` — a pure-numpy,
+bit-exact reimplementation of torch's CPU generator (MT19937 engine +
+``normal_fill``/``normal_distribution`` transforms, validated bitwise in
+``tests/test_torch_rng.py``) — so torch is a test-only dependency. Noise is
+always materialized *before* the jit'd loop; the per-step schedulers here are
+deterministic (DDIM / DPM / flow-match), so no in-loop draws are needed for
+any shipped config (DDIM ``eta>0`` and DPM-SDE noise stacks are pre-generated
+host-side the same way).
 """
 
 from __future__ import annotations
@@ -20,28 +24,20 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-try:
-    import torch
-
-    _HAS_TORCH = True
-except ImportError:  # pragma: no cover
-    _HAS_TORCH = False
+from alg_tpu.core.torch_rng import TorchCPUGenerator
 
 
 def torch_randn(shape: Sequence[int], generator=None, seed: Optional[int] = None, dtype=np.float32) -> np.ndarray:
-    """Standard-normal draw matching torch's CPU Generator sequence.
+    """Standard-normal draw matching torch's CPU Generator sequence, bitwise.
 
-    Either pass an existing ``torch.Generator`` (draw order matters — the
-    reference threads one generator through latent init and VAE sampling) or a
-    seed to create a fresh one.
+    Either pass an existing :class:`TorchCPUGenerator` (draw order matters —
+    the reference threads one generator through latent init and VAE sampling)
+    or a seed to create a fresh one. A real ``torch.Generator`` is NOT
+    accepted — the whole point is running without torch.
     """
-    if not _HAS_TORCH:
-        raise RuntimeError("torch is required for torch-parity noise; use NoiseSource(jax_seed=...) instead")
     if generator is None:
-        generator = torch.Generator()
-        generator.manual_seed(42 if seed is None else seed)
-    out = torch.randn(tuple(shape), generator=generator, dtype=torch.float32)
-    return out.numpy().astype(dtype)
+        generator = TorchCPUGenerator(42 if seed is None else seed)
+    return generator.randn(tuple(shape), dtype=np.float32).astype(dtype)
 
 
 def torch_randn_like(array, generator=None, seed: Optional[int] = None) -> np.ndarray:
@@ -49,27 +45,20 @@ def torch_randn_like(array, generator=None, seed: Optional[int] = None) -> np.nd
 
 
 class NoiseSource:
-    """Sequential noise draws: torch-parity when possible, JAX PRNG otherwise.
+    """Sequential torch-ordered noise draws from one generator per run.
 
-    One instance per sampling run, mirroring the reference's single
-    ``torch.Generator`` threaded through every draw (``run.py:94``).
+    Mirrors the reference's single ``torch.Generator`` threaded through every
+    draw (``run.py:94``); backed by the numpy reimplementation, so parity-grade
+    runs no longer require torch (VERDICT r2 item #6). ``use_torch`` is kept
+    for backward compatibility and ignored (the stream is torch's either way).
     """
 
     def __init__(self, seed: int = 42, use_torch: bool = True):
         self.seed = seed
-        self.use_torch = use_torch and _HAS_TORCH
-        if self.use_torch:
-            self._gen = torch.Generator()
-            self._gen.manual_seed(seed)
-        else:
-            import jax
-
-            self._key = jax.random.PRNGKey(seed)
+        self._gen = TorchCPUGenerator(seed)
 
     def randn(self, shape: Sequence[int], dtype=np.float32) -> np.ndarray:
-        if self.use_torch:
-            return torch_randn(shape, generator=self._gen, dtype=dtype)
-        import jax
+        return self._gen.randn(tuple(shape), dtype=np.float32).astype(dtype)
 
-        self._key, sub = jax.random.split(self._key)
-        return np.asarray(jax.random.normal(sub, tuple(shape), dtype=np.float32)).astype(dtype)
+    def rand(self, shape: Sequence[int], dtype=np.float32) -> np.ndarray:
+        return self._gen.rand(tuple(shape), dtype=np.float32).astype(dtype)

@@ -78,12 +78,22 @@ def tiled_decode(
     return out[:, :, : h * spatial_scale, : w * spatial_scale]
 
 
-def auto_tile_encode(num_frames: int, h_px: int, w_px: int) -> bool:
-    """Encode-side tiling threshold: whole-clip encoder activations scale
-    with F·H·W (first stage holds 128 channels at full resolution); beyond
-    ~2 frames of 480p the untiled pass starts crowding HBM at Wan/Hunyuan
-    frame counts. Single-frame 480p conditioning encodes stay untiled."""
-    return num_frames * h_px * w_px > 2 * 480 * 720
+def auto_tile_encode(num_frames: int, h_px: int, w_px: int, override=None) -> bool:
+    """Encode-side tiling policy.
+
+    ``override`` is the pipeline's explicit ``vae_encode_tiling`` setting (the
+    analog of the reference's ``enable_vae_tiling`` toggle,
+    ``pipeline_hunyuan_video_image2video_lowpass.py:601-628``): True/False wins
+    outright. With ``override=None`` the auto rule tiles only when untiled
+    encode is an actual HBM risk: multi-frame clips past ~8 frames of 480p
+    (encoder stage-1 holds 128 fp32 channels at full resolution, so an 81-frame
+    480×832 Wan condition video is ~16 GB of activations). Single-frame
+    conditioning encodes — including 720p — always stay untiled, because tiled
+    encode is not bitwise-equal to untiled and conditioning latents must match
+    the reference."""
+    if override is not None:
+        return bool(override)
+    return num_frames > 1 and num_frames * h_px * w_px > 8 * 480 * 720
 
 
 def tiled_encode(

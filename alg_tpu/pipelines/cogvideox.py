@@ -80,9 +80,18 @@ class CogVideoXPipeline:
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     # (set by serving.shard_pipeline; see alg_tpu.ops.attention)
     attn_mesh: Any = None
+    # explicit VAE-encode tiling toggle (reference ``enable_vae_tiling``
+    # analog): True/False forces it; None = tile only multi-frame clips that
+    # are a real HBM risk (see models/vae_tiling.auto_tile_encode)
+    vae_encode_tiling: Optional[bool] = None
     # cooperative interruption (reference ``self._interrupt`` checked each
     # step): set True (e.g. from a step_observer or another thread) to stop
-    # after the current scan chunk; the partial latents are returned
+    # the run; granularity is one SCAN_CHUNK of steps in the production scan
+    # path (per-step when a step_observer is active); the flag is reset at
+    # the start of every __call__, matching the reference (:920). The partial
+    # latents are returned. NOTE: in the chunked path, dispatch is async — the
+    # flag stops further chunk *dispatch*; already-enqueued device work runs
+    # to completion.
     interrupt: bool = dataclasses.field(default=False, compare=False)
 
     @property
@@ -118,7 +127,7 @@ class CogVideoXPipeline:
 
         x = jnp.asarray(image_bfchw, jnp.float32).transpose(0, 1, 3, 4, 2)  # → BFHWC
         fn = jax.jit(lambda params, x: cogvideox_vae_encode(params, self.vae_cfg, x))
-        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3]):
+        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3], self.vae_encode_tiling):
             mean, logvar = tiled_encode(
                 lambda xt: fn(self.vae_params, xt), x, self.vae_cfg.spatial_scale
             )
@@ -169,6 +178,8 @@ class CogVideoXPipeline:
         schedule_linear_end_time: float = 1.0,
         schedule_exp_decay_rate: float = 5.0,
     ):
+        # reset cooperative interruption for this run (reference :920)
+        self.interrupt = False
         tcfg = self.transformer_cfg
         height = height or tcfg.sample_height * self.vae_scale_factor_spatial
         width = width or tcfg.sample_width * self.vae_scale_factor_spatial
@@ -394,7 +405,9 @@ class CogVideoXPipeline:
             from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
             rgb_c = rgb.transpose(0, 1, 3, 4, 2)
-            if auto_tile_encode(rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3]):
+            if auto_tile_encode(
+                rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3], self.vae_encode_tiling
+            ):
                 mean, logvar = tiled_encode(
                     lambda xt: cogvideox_vae_encode(data["vae_params"], self.vae_cfg, xt),
                     rgb_c,

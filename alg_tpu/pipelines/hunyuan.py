@@ -90,9 +90,14 @@ class HunyuanVideoPipeline:
     dtype: Any = jnp.float32
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     attn_mesh: Any = None
+    # explicit VAE-encode tiling toggle (reference ``enable_vae_tiling``,
+    # :601-628): True/False forces it; None = tile only multi-frame clips that
+    # are a real HBM risk (see models/vae_tiling.auto_tile_encode)
+    vae_encode_tiling: Optional[bool] = None
     # cooperative interruption (reference ``self._interrupt`` checked each
     # step): set True (e.g. from a step_observer or another thread) to stop
-    # after the current scan chunk; the partial latents are returned
+    # the run; chunk-granular in the production scan path, per-step with a
+    # step_observer; reset at the start of every __call__ (reference :1127)
     interrupt: bool = dataclasses.field(default=False, compare=False)
 
     @property
@@ -241,6 +246,8 @@ class HunyuanVideoPipeline:
         image_condition_type: str = "token_replace",
         step_observer=None,
     ):
+        # reset cooperative interruption for this run (reference :1127)
+        self.interrupt = False
         assert not enable_lp_img_embeds, (
             "Low-pass filter on image embeds is not supported in HunyuanVideo pipeline."
         )
@@ -282,7 +289,7 @@ class HunyuanVideoPipeline:
         enc = jax.jit(lambda p, x: hunyuan_vae_encode(p, self.vae_cfg, x)[0])
         from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
-        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3]):
+        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3], self.vae_encode_tiling):
             mean0 = tiled_encode(
                 lambda xt: enc(self.vae_params, xt), x, self.vae_cfg.spatial_scale
             )
@@ -461,7 +468,9 @@ class HunyuanVideoPipeline:
             from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
             rgb_c = rgb.transpose(0, 1, 3, 4, 2)
-            if auto_tile_encode(rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3]):
+            if auto_tile_encode(
+                rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3], self.vae_encode_tiling
+            ):
                 mean = tiled_encode(
                     lambda xt: hunyuan_vae_encode(data["vae_params"], self.vae_cfg, xt)[0],
                     rgb_c,

@@ -81,9 +81,14 @@ class WanPipeline:
     dtype: Any = jnp.float32
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     attn_mesh: Any = None
+    # explicit VAE-encode tiling toggle (reference ``enable_vae_tiling``
+    # analog): True/False forces it; None = tile only multi-frame clips that
+    # are a real HBM risk (see models/vae_tiling.auto_tile_encode)
+    vae_encode_tiling: Optional[bool] = None
     # cooperative interruption (reference ``self._interrupt`` checked each
     # step): set True (e.g. from a step_observer or another thread) to stop
-    # after the current scan chunk; the partial latents are returned
+    # the run; chunk-granular in the production scan path, per-step with a
+    # step_observer; reset at the start of every __call__ (reference :920)
     interrupt: bool = dataclasses.field(default=False, compare=False)
 
     @property
@@ -157,6 +162,8 @@ class WanPipeline:
         schedule_exp_decay_rate: float = 5.0,
         step_observer=None,
     ):
+        # reset cooperative interruption for this run (reference :844 loop entry)
+        self.interrupt = False
         # check_inputs (reference :318-370): H, W must divide 16
         if height % 16 != 0 or width % 16 != 0:
             raise ValueError(f"height and width must be divisible by 16 but are {height} and {width}.")
@@ -298,7 +305,7 @@ class WanPipeline:
         from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
         x = video_bfchw.transpose(0, 1, 3, 4, 2)  # BFHWC
-        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3]):
+        if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3], self.vae_encode_tiling):
             mean = tiled_encode(
                 lambda xt: wan_vae_encode(vae_params, self.vae_cfg, xt)[0],
                 x,
@@ -398,7 +405,9 @@ class WanPipeline:
             video = jnp.concatenate([rgb, zeros], axis=1).transpose(0, 1, 3, 4, 2)
             from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
-            if auto_tile_encode(video.shape[1], video.shape[2], video.shape[3]):
+            if auto_tile_encode(
+                video.shape[1], video.shape[2], video.shape[3], self.vae_encode_tiling
+            ):
                 mean, logvar = tiled_encode(
                     lambda xt: wan_vae_encode(data["vae_params"], self.vae_cfg, xt),
                     video,

@@ -131,13 +131,15 @@ def serve_batch(
     """Run a batch of I2V requests through one pipeline invocation.
 
     Per-request seeds drive per-sample noise (torch-order within each sample);
-    prompts are encoded as a batch. With a ``mesh``, the pipeline's params are
-    expected to be pre-sharded (see ``shard_pipeline``) and the batch is laid
-    out along the ``dp`` axis.
+    prompts are encoded as a batch. Passing a ``mesh`` arms the pipeline via
+    :func:`shard_pipeline` (no-op if it is already armed with that mesh); the
+    batch then lays out along the ``dp`` axis and the DiT runs TP/SP-sharded.
     """
     family = type(pipeline).__name__
     if family not in _ENCODERS:
         raise ValueError(f"Unsupported pipeline type for serving: {family}")
+    if mesh is not None and pipeline.attn_mesh is not mesh:
+        pipeline = shard_pipeline(pipeline, mesh)
 
     n = len(requests)
     def_h, def_w = _DEFAULT_HW[family]
@@ -181,7 +183,8 @@ def shard_pipeline(pipeline, mesh: Mesh):
     weight layout; attention inside the sampler runs through a shard_map'd
     fused kernel (``attn_mesh``). A mesh with a non-unit ``sp`` axis
     additionally shards the DiT query tokens in attention (all-gathered KV —
-    long-context relief); the joint sequence length must divide ``sp``.
+    long-context relief); the joint sequence length must be divisible by
+    ``sp``.
     """
     import dataclasses as _dc
 

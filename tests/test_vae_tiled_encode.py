@@ -22,9 +22,15 @@ from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
 
 def test_auto_tile_encode_threshold():
+    # conditioning-frame encodes must match the reference bit-for-bit, so
+    # single-frame encodes NEVER auto-tile (ADVICE r2: tiled != untiled)
     assert not auto_tile_encode(1, 480, 720)  # single-frame 480p: untiled
-    assert auto_tile_encode(1, 1280, 720)  # single-frame 720p: tiled
+    assert not auto_tile_encode(1, 1280, 720)  # single-frame 720p: untiled
     assert auto_tile_encode(81, 480, 832)  # Wan condition video: tiled
+    assert not auto_tile_encode(5, 96, 128)  # tiny multi-frame clip: untiled
+    # explicit override (reference enable_vae_tiling analog) wins outright
+    assert auto_tile_encode(1, 64, 64, override=True)
+    assert not auto_tile_encode(81, 480, 832, override=False)
 
 
 def test_tiled_encode_matches_whole_cogvideox():
