@@ -284,10 +284,19 @@ def cogvideox_transformer(
             params["ofs_embedding"], ofs_emb.astype(hidden_states.dtype)
         )
 
-    # patchify: [B, F, C, H, W] → [B, (F/pt)·(H/p)·(W/p), pt·p·p·C] → linear
-    x = hidden_states.reshape(b, f // pt, pt, c, h // p, p, w // p, p)
-    x = x.transpose(0, 1, 4, 6, 2, 3, 5, 7)  # [B, F', H', W', pt, C, p, p]
-    x = x.reshape(b, (f // pt) * (h // p) * (w // p), pt * c * p * p)
+    # patchify: [B, F, C, H, W] → [B, (F/pt)·(H/p)·(W/p), ...] → linear.
+    # Flatten minor order follows diffusers so plain-transposed checkpoint
+    # weights line up: 1.0 (pt=None) is conv2d semantics (C, ph, pw); 1.5
+    # (pt set) is the CogVideoXPatchEmbed linear layout (pt, ph, pw, C).
+    if cfg.patch_size_t is None:
+        x = hidden_states.reshape(b, f, c, h // p, p, w // p, p)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6)  # [B, F, H', W', C, p, p]
+        x = x.reshape(b, f * (h // p) * (w // p), c * p * p)
+    else:
+        x = hidden_states.transpose(0, 1, 3, 4, 2)  # [B, F, H, W, C]
+        x = x.reshape(b, f // pt, pt, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B, F', H', W', pt, p, p, C]
+        x = x.reshape(b, (f // pt) * (h // p) * (w // p), pt * p * p * c)
     video = L.linear(params["patch_embed"]["proj"], x)
     text = L.linear(params["patch_embed"]["text_proj"], encoder_hidden_states.astype(video.dtype))
 
@@ -324,8 +333,13 @@ def cogvideox_transformer(
     video = video * (1 + scale[:, None]) + shift[:, None]
     out = L.linear(params["proj_out"], video)  # [B, S, pt·p·p·out_c]
 
-    # unpatchify
+    # unpatchify (diffusers output reshape: proj_out minor order is
+    # (C, ph, pw) for 1.0 and (C, pt, ph, pw) for 1.5)
     oc = cfg.out_channels
-    out = out.reshape(b, f // pt, h // p, w // p, pt, oc, p, p)
-    out = out.transpose(0, 1, 4, 5, 2, 6, 3, 7)  # [B, F', pt, C, H', p, W', p]
+    if cfg.patch_size_t is None:
+        out = out.reshape(b, f, h // p, w // p, oc, p, p)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6)  # [B, F, C, H', p, W', p]
+        return out.reshape(b, f, oc, h, w)
+    out = out.reshape(b, f // pt, h // p, w // p, oc, pt, p, p)
+    out = out.transpose(0, 1, 5, 4, 2, 6, 3, 7)  # [B, F', pt, C, H', p, W', p]
     return out.reshape(b, f, oc, h, w)

@@ -112,13 +112,21 @@ def _torch_cogvideox(params, cfg, hidden, text_in, timestep, rope_cos, rope_sin)
     temb = _lin(params["time_embedding"]["linear_2"],
                 F.silu(_lin(params["time_embedding"]["linear_1"], _tstep_emb(timestep, dim))))
 
-    # patchify via unfold per frame (conv2d patch-embed semantics, pt=1):
-    # unfold gives [B, C·p·p, L] with (C, ph, pw) minor order, L in (H', W')
-    tokens = []
-    for fi in range(f):
-        u = F.unfold(hidden[:, fi], kernel_size=p, stride=p)  # [B, C·p·p, L]
-        tokens.append(u.transpose(1, 2))  # [B, L, C·p·p]
-    x = torch.cat(tokens, dim=1)  # [B, F·H'·W', C·p·p]
+    pt = cfg.patch_size_t
+    if pt is None:
+        # patchify via unfold per frame (conv2d patch-embed semantics, pt=1):
+        # unfold gives [B, C·p·p, L] with (C, ph, pw) minor order, L in (H', W')
+        tokens = []
+        for fi in range(f):
+            u = F.unfold(hidden[:, fi], kernel_size=p, stride=p)  # [B, C·p·p, L]
+            tokens.append(u.transpose(1, 2))  # [B, L, C·p·p]
+        x = torch.cat(tokens, dim=1)  # [B, F·H'·W', C·p·p]
+    else:
+        # CogVideoX-1.5 linear patch embed (diffusers CogVideoXPatchEmbed):
+        # permute to channels-last, patch over (pt, p, p), minor (pt, ph, pw, C)
+        x = hidden.permute(0, 1, 3, 4, 2)
+        x = x.reshape(b, f // pt, pt, h // p, p, w // p, p, c)
+        x = x.permute(0, 1, 3, 5, 2, 4, 6, 7).flatten(4, 7).flatten(1, 3)
     video = _lin(params["patch_embed"]["proj"], x)
     text = _lin(params["patch_embed"]["text_proj"], text_in)
     text_len = text.shape[1]
@@ -166,21 +174,29 @@ def _torch_cogvideox(params, cfg, hidden, text_in, timestep, rope_cos, rope_sin)
     video = _ln(params["norm_out"]["norm"], video, cfg.norm_eps) * (1 + sc[:, None]) + sh[:, None]
     out = _lin(params["proj_out"], video)  # [B, S, p·p·oc]
 
-    # unpatchify (fold per frame)
+    # unpatchify
     oc = cfg.out_channels
     hp, wp = h // p, w // p
-    out = out.reshape(b, f, hp * wp, oc * p * p).permute(0, 1, 3, 2)
-    frames = [
-        F.fold(out[:, fi], output_size=(h, w), kernel_size=p, stride=p) for fi in range(f)
-    ]
-    return torch.stack(frames, dim=1)  # [B, F, oc, H, W]
+    if pt is None:
+        # fold per frame (proj_out minor order (C, ph, pw))
+        out = out.reshape(b, f, hp * wp, oc * p * p).permute(0, 1, 3, 2)
+        frames = [
+            F.fold(out[:, fi], output_size=(h, w), kernel_size=p, stride=p) for fi in range(f)
+        ]
+        return torch.stack(frames, dim=1)  # [B, F, oc, H, W]
+    # diffusers 1.5 output reshape: minor order (C, pt, ph, pw)
+    out = out.reshape(b, f // pt, hp, wp, oc, pt, p, p)
+    out = out.permute(0, 1, 5, 4, 2, 6, 3, 7)  # [B, F', pt, C, H', p, W', p]
+    return out.reshape(b, f, oc, h, w)
 
 
-def test_cogvideox_transformer_torch_golden(rng):
+@pytest.mark.parametrize("patch_size_t", [None, 2], ids=["v1.0", "v1.5-pt2"])
+def test_cogvideox_transformer_torch_golden(rng, patch_size_t):
     cfg = CogVideoXTransformerConfig(
         num_attention_heads=2, attention_head_dim=16, in_channels=8, out_channels=4,
         time_embed_dim=24, text_embed_dim=12, num_layers=2,
         sample_height=8, sample_width=8, max_text_seq_length=5,
+        patch_size_t=patch_size_t,
     )
     params = _randomize(init_cogvideox_transformer(jax.random.PRNGKey(0), cfg), seed=7)
     f, hh, ww = 2, 4, 4

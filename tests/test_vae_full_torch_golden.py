@@ -103,6 +103,44 @@ def _wan_temporal_up(p, x):
     return y[:, :, 1:]
 
 
+def torch_wan_vae_encode(params, cfg, x):
+    """Vendored-torch Wan VAE encoder on NCDHW input → (mean, logvar)."""
+    enc = params["encoder"]
+    h = _wan_conv(enc["conv_in"], x)
+    for blk in enc["down"]:
+        for r in blk["resnets"]:
+            h = _wan_resnet(r, h)
+        if "downsample" in blk:
+            if "time_conv" in blk["downsample"]:
+                h = _wan_conv(blk["downsample"]["time_conv"], h, stride=(2, 1, 1))
+            h = _wan_conv2d_frames(blk["downsample"]["conv"], h, 2, (0, 1, 0, 1))
+    h = _wan_resnet(enc["mid"]["resnet1"], h)
+    h = _wan_attn(enc["mid"]["attn"], h)
+    h = _wan_resnet(enc["mid"]["resnet2"], h)
+    h = _wan_conv(enc["conv_out"], F.silu(_wan_rms(enc["norm_out"], h)))
+    h = _wan_conv(params["quant_conv"], h)
+    return h.chunk(2, dim=1)
+
+
+def torch_wan_vae_decode(params, cfg, z):
+    """Vendored-torch Wan VAE decoder on NCDHW latents."""
+    dec = params["decoder"]
+    z = _wan_conv(params["post_quant_conv"], z)
+    h = _wan_conv(dec["conv_in"], z)
+    h = _wan_resnet(dec["mid"]["resnet1"], h)
+    h = _wan_attn(dec["mid"]["attn"], h)
+    h = _wan_resnet(dec["mid"]["resnet2"], h)
+    for blk in dec["up"]:
+        for r in blk["resnets"]:
+            h = _wan_resnet(r, h)
+        if "upsample" in blk:
+            if "time_conv" in blk["upsample"]:
+                h = _wan_temporal_up(blk["upsample"]["time_conv"], h)
+            h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
+            h = _wan_conv2d_frames(blk["upsample"]["conv"], h, 1, (1, 1, 1, 1))
+    return _wan_conv(dec["conv_out"], F.silu(_wan_rms(dec["norm_out"], h)))
+
+
 def test_wan_full_vae_torch_golden(rng):
     from alg_tpu.models.wan.vae import WanVAEConfig, init_wan_vae, wan_vae_decode, wan_vae_encode
 
@@ -111,38 +149,10 @@ def test_wan_full_vae_torch_golden(rng):
     params = _randomize(init_wan_vae(jax.random.PRNGKey(5), cfg), seed=31)
 
     def t_encode(x):
-        enc = params["encoder"]
-        h = _wan_conv(enc["conv_in"], x)
-        for blk in enc["down"]:
-            for r in blk["resnets"]:
-                h = _wan_resnet(r, h)
-            if "downsample" in blk:
-                if "time_conv" in blk["downsample"]:
-                    h = _wan_conv(blk["downsample"]["time_conv"], h, stride=(2, 1, 1))
-                h = _wan_conv2d_frames(blk["downsample"]["conv"], h, 2, (0, 1, 0, 1))
-        h = _wan_resnet(enc["mid"]["resnet1"], h)
-        h = _wan_attn(enc["mid"]["attn"], h)
-        h = _wan_resnet(enc["mid"]["resnet2"], h)
-        h = _wan_conv(enc["conv_out"], F.silu(_wan_rms(enc["norm_out"], h)))
-        h = _wan_conv(params["quant_conv"], h)
-        return h.chunk(2, dim=1)
+        return torch_wan_vae_encode(params, cfg, x)
 
     def t_decode(z):
-        dec = params["decoder"]
-        z = _wan_conv(params["post_quant_conv"], z)
-        h = _wan_conv(dec["conv_in"], z)
-        h = _wan_resnet(dec["mid"]["resnet1"], h)
-        h = _wan_attn(dec["mid"]["attn"], h)
-        h = _wan_resnet(dec["mid"]["resnet2"], h)
-        for blk in dec["up"]:
-            for r in blk["resnets"]:
-                h = _wan_resnet(r, h)
-            if "upsample" in blk:
-                if "time_conv" in blk["upsample"]:
-                    h = _wan_temporal_up(blk["upsample"]["time_conv"], h)
-                h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
-                h = _wan_conv2d_frames(blk["upsample"]["conv"], h, 1, (1, 1, 1, 1))
-        return _wan_conv(dec["conv_out"], F.silu(_wan_rms(dec["norm_out"], h)))
+        return torch_wan_vae_decode(params, cfg, z)
 
     x = rng.randn(1, 5, 32, 32, 3).astype(np.float32)
     mean_j, logvar_j = wan_vae_encode(params, cfg, jnp.asarray(x))
@@ -209,6 +219,45 @@ def _hy_temporal_up(x):
     return torch.cat([first, torch.repeat_interleave(rest, 2, dim=2)], dim=2)
 
 
+def torch_hy_vae_encode(params, cfg, x):
+    """Vendored-torch HunyuanVideo VAE encoder on NCDHW input → (mean, logvar)."""
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    enc = params["encoder"]
+    h = _hy_conv(enc["conv_in"], x)
+    for i, blk in enumerate(enc["down"]):
+        for r in blk["resnets"]:
+            h = _hy_resnet(r, h, g, eps)
+        if "downsample" in blk:
+            stride = (2, 2, 2) if i < cfg.temporal_compress_level else (1, 2, 2)
+            h = _hy_conv(blk["downsample"]["conv"], h, stride=stride)
+    h = _hy_resnet(enc["mid"]["resnet1"], h, g, eps)
+    h = _hy_attn(enc["mid"]["attn"], h, g, eps)
+    h = _hy_resnet(enc["mid"]["resnet2"], h, g, eps)
+    h = _hy_conv(enc["conv_out"], F.silu(_hy_gn(enc["norm_out"], h, g, eps)))
+    h = _hy_conv(params["quant_conv"], h)
+    return h.chunk(2, dim=1)
+
+
+def torch_hy_vae_decode(params, cfg, z):
+    """Vendored-torch HunyuanVideo VAE decoder on NCDHW latents."""
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    dec = params["decoder"]
+    z = _hy_conv(params["post_quant_conv"], z)
+    h = _hy_conv(dec["conv_in"], z)
+    h = _hy_resnet(dec["mid"]["resnet1"], h, g, eps)
+    h = _hy_attn(dec["mid"]["attn"], h, g, eps)
+    h = _hy_resnet(dec["mid"]["resnet2"], h, g, eps)
+    for i, blk in enumerate(dec["up"]):
+        for r in blk["resnets"]:
+            h = _hy_resnet(r, h, g, eps)
+        if "upsample" in blk:
+            if i < cfg.temporal_compress_level:
+                h = _hy_temporal_up(h)
+            h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
+            h = _hy_conv(blk["upsample"]["conv"], h)
+    return _hy_conv(dec["conv_out"], F.silu(_hy_gn(dec["norm_out"], h, g, eps)))
+
+
 def test_hunyuan_full_vae_torch_golden(rng):
     from alg_tpu.models.hunyuan.vae import (
         HunyuanVAEConfig,
@@ -220,40 +269,12 @@ def test_hunyuan_full_vae_torch_golden(rng):
     cfg = HunyuanVAEConfig(latent_channels=4, block_out_channels=(8, 8, 16, 16),
                            layers_per_block=1, norm_num_groups=4)
     params = _randomize(init_hunyuan_vae(jax.random.PRNGKey(6), cfg), seed=41)
-    g, eps = cfg.norm_num_groups, cfg.norm_eps
 
     def t_encode(x):
-        enc = params["encoder"]
-        h = _hy_conv(enc["conv_in"], x)
-        for i, blk in enumerate(enc["down"]):
-            for r in blk["resnets"]:
-                h = _hy_resnet(r, h, g, eps)
-            if "downsample" in blk:
-                stride = (2, 2, 2) if i < cfg.temporal_compress_level else (1, 2, 2)
-                h = _hy_conv(blk["downsample"]["conv"], h, stride=stride)
-        h = _hy_resnet(enc["mid"]["resnet1"], h, g, eps)
-        h = _hy_attn(enc["mid"]["attn"], h, g, eps)
-        h = _hy_resnet(enc["mid"]["resnet2"], h, g, eps)
-        h = _hy_conv(enc["conv_out"], F.silu(_hy_gn(enc["norm_out"], h, g, eps)))
-        h = _hy_conv(params["quant_conv"], h)
-        return h.chunk(2, dim=1)
+        return torch_hy_vae_encode(params, cfg, x)
 
     def t_decode(z):
-        dec = params["decoder"]
-        z = _hy_conv(params["post_quant_conv"], z)
-        h = _hy_conv(dec["conv_in"], z)
-        h = _hy_resnet(dec["mid"]["resnet1"], h, g, eps)
-        h = _hy_attn(dec["mid"]["attn"], h, g, eps)
-        h = _hy_resnet(dec["mid"]["resnet2"], h, g, eps)
-        for i, blk in enumerate(dec["up"]):
-            for r in blk["resnets"]:
-                h = _hy_resnet(r, h, g, eps)
-            if "upsample" in blk:
-                if i < cfg.temporal_compress_level:
-                    h = _hy_temporal_up(h)
-                h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
-                h = _hy_conv(blk["upsample"]["conv"], h)
-        return _hy_conv(dec["conv_out"], F.silu(_hy_gn(dec["norm_out"], h, g, eps)))
+        return torch_hy_vae_decode(params, cfg, z)
 
     x = rng.randn(1, 5, 32, 32, 3).astype(np.float32)
     mean_j, logvar_j = hunyuan_vae_encode(params, cfg, jnp.asarray(x))

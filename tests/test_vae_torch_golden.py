@@ -246,6 +246,47 @@ def _torch_temporal_upsample2(x):
     return torch.cat([first, torch.repeat_interleave(rest, 2, dim=2)], dim=2)
 
 
+def torch_cog_vae_encode(params, cfg, x):
+    """Vendored-torch CogVideoX VAE encoder on NCDHW input → (mean, logvar)
+    chunks on dim 1. Module-level so the mini-pipeline goldens can reuse it."""
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    enc = params["encoder"]
+    h = _torch_causal_conv3d(enc["conv_in"], x)
+    for i, blk in enumerate(enc["down"]):
+        for r in blk["resnets"]:
+            h = _torch_resnet(r, h, g, eps)
+        if "downsample" in blk:
+            if i < cfg.temporal_compress_level:
+                h = _torch_temporal_pool2(h)
+            h = _torch_conv2d_per_frame(blk["downsample"]["conv"], h, stride=2,
+                                        manual_pad=((0, 1), (0, 1)))
+    for r in enc["mid"]:
+        h = _torch_resnet(r, h, g, eps)
+    h = F.silu(_torch_group_norm(enc["norm_out"], h, g, eps))
+    h = _torch_causal_conv3d(enc["conv_out"], h)
+    return h.chunk(2, dim=1)
+
+
+def torch_cog_vae_decode(params, cfg, z):
+    """Vendored-torch CogVideoX VAE decoder on NCDHW latents."""
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    dec = params["decoder"]
+    zq = z
+    h = _torch_causal_conv3d(dec["conv_in"], z)
+    for r in dec["mid"]:
+        h = _torch_resnet(r, h, g, eps, zq_ncdhw=zq)
+    for i, blk in enumerate(dec["up"]):
+        for r in blk["resnets"]:
+            h = _torch_resnet(r, h, g, eps, zq_ncdhw=zq)
+        if "upsample" in blk:
+            if i < cfg.temporal_compress_level:
+                h = _torch_temporal_upsample2(h)
+            h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
+            h = _torch_conv2d_per_frame(blk["upsample"]["conv"], h)
+    h = F.silu(_torch_spatial_norm(dec["norm_out"], h, zq, g, eps))
+    return _torch_causal_conv3d(dec["conv_out"], h)
+
+
 def test_full_vae_encode_decode_torch_golden(rng):
     from alg_tpu.models.cogvideox.vae import (
         CogVideoXVAEConfig,
@@ -260,42 +301,12 @@ def test_full_vae_encode_decode_torch_golden(rng):
     )
     params = init_cogvideox_vae(jax.random.PRNGKey(4), cfg)
     params = _randomize(params, seed=21, scale=0.25)
-    g, eps = cfg.norm_num_groups, cfg.norm_eps
-    n = len(cfg.block_out_channels)
 
     def t_encode(x):
-        enc = params["encoder"]
-        h = _torch_causal_conv3d(enc["conv_in"], x)
-        for i, blk in enumerate(enc["down"]):
-            for r in blk["resnets"]:
-                h = _torch_resnet(r, h, g, eps)
-            if "downsample" in blk:
-                if i < cfg.temporal_compress_level:
-                    h = _torch_temporal_pool2(h)
-                h = _torch_conv2d_per_frame(blk["downsample"]["conv"], h, stride=2,
-                                            manual_pad=((0, 1), (0, 1)))
-        for r in enc["mid"]:
-            h = _torch_resnet(r, h, g, eps)
-        h = F.silu(_torch_group_norm(enc["norm_out"], h, g, eps))
-        h = _torch_causal_conv3d(enc["conv_out"], h)
-        return h.chunk(2, dim=1)
+        return torch_cog_vae_encode(params, cfg, x)
 
     def t_decode(z):
-        dec = params["decoder"]
-        zq = z
-        h = _torch_causal_conv3d(dec["conv_in"], z)
-        for r in dec["mid"]:
-            h = _torch_resnet(r, h, g, eps, zq_ncdhw=zq)
-        for i, blk in enumerate(dec["up"]):
-            for r in blk["resnets"]:
-                h = _torch_resnet(r, h, g, eps, zq_ncdhw=zq)
-            if "upsample" in blk:
-                if i < cfg.temporal_compress_level:
-                    h = _torch_temporal_upsample2(h)
-                h = torch.repeat_interleave(torch.repeat_interleave(h, 2, dim=3), 2, dim=4)
-                h = _torch_conv2d_per_frame(blk["upsample"]["conv"], h)
-        h = F.silu(_torch_spatial_norm(dec["norm_out"], h, zq, g, eps))
-        return _torch_causal_conv3d(dec["conv_out"], h)
+        return torch_cog_vae_decode(params, cfg, z)
 
     x = rng.randn(1, 5, 32, 32, 3).astype(np.float32)
     mean_j, logvar_j = cogvideox_vae_encode(params, cfg, jnp.asarray(x))
