@@ -94,6 +94,9 @@ class CogVideoXPipeline:
     # to completion.
     interrupt: bool = dataclasses.field(default=False, compare=False)
 
+    # fuse_qkv_projections state (reference :527-539)
+    fusing_transformer: bool = dataclasses.field(default=False, compare=False)
+
     @property
     def vae_scale_factor_spatial(self) -> int:
         return self.vae_cfg.spatial_scale
@@ -101,6 +104,27 @@ class CogVideoXPipeline:
     @property
     def vae_scale_factor_temporal(self) -> int:
         return self.vae_cfg.temporal_compression_ratio
+
+    # -- reference API passthroughs ----------------------------------------
+
+    def fuse_qkv_projections(self) -> None:
+        """Enable fused QKV projections (reference :527-530).
+
+        Functional no-op by design: XLA already emits one fused matmul for
+        the q/k/v projections where profitable, so there is no separate
+        fused-weight layout to switch to. The flag is tracked for API parity."""
+        self.fusing_transformer = True
+
+    def unfuse_qkv_projections(self) -> None:
+        """Disable QKV projection fusion if enabled (reference :532-539)."""
+        if not self.fusing_transformer:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "The Transformer was not initially fused for QKV projections. Doing nothing."
+            )
+        else:
+            self.fusing_transformer = False
 
     # -- encoders ----------------------------------------------------------
 
@@ -153,6 +177,7 @@ class CogVideoXPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 6.0,
         use_dynamic_cfg: bool = False,
+        eta: float = 0.0,
         seed: int = 42,
         noise_source: Optional[NoiseSource] = None,
         latents: Optional[np.ndarray] = None,
@@ -161,6 +186,7 @@ class CogVideoXPipeline:
         timesteps=None,
         max_sequence_length: int = 226,
         output_type: str = "pil",
+        attention_kwargs: Optional[dict] = None,
         step_observer: Optional[Callable] = None,
         # --- ALG kwargs (reference surface, :753-773) ---
         use_low_pass_guidance: bool = False,
@@ -180,6 +206,7 @@ class CogVideoXPipeline:
     ):
         # reset cooperative interruption for this run (reference :920)
         self.interrupt = False
+        processing.validate_attention_kwargs(attention_kwargs)
         tcfg = self.transformer_cfg
         height = height or tcfg.sample_height * self.vae_scale_factor_spatial
         width = width or tcfg.sample_width * self.vae_scale_factor_spatial
@@ -252,7 +279,9 @@ class CogVideoXPipeline:
         if self.scheduler == "dpm":
             sched_plan = make_dpm_plan(self.scheduler_cfg, num_inference_steps, timesteps)
         else:
-            sched_plan = make_ddim_plan(self.scheduler_cfg, num_inference_steps, timesteps)
+            # eta > 0: stochastic DDIM (reference prepare_extra_step_kwargs,
+            # :446-461,988); per-step variance noise pre-generated below
+            sched_plan = make_ddim_plan(self.scheduler_cfg, num_inference_steps, timesteps, eta=eta)
         num_inference_steps = len(np.asarray(sched_plan.timesteps))
 
         lp_cfg = LPConfig(
@@ -311,8 +340,11 @@ class CogVideoXPipeline:
             jnp.full((1,), 2.0, jnp.float32) if tcfg.ofs_embed_dim is not None else None
         )
 
+        # per-step in-scheduler noise stack: DPM-SDE always; DDIM when eta > 0
+        # (reference draws inside scheduler.step each step — pre-generated in
+        # the same order and fed to the jitted loop)
         dpm_noise = None
-        if self.scheduler == "dpm":
+        if self.scheduler == "dpm" or eta > 0.0:
             dpm_noise = jnp.asarray(
                 np.stack([noise.randn(latents0.shape) for _ in range(num_inference_steps)])
             )
@@ -475,7 +507,10 @@ class CogVideoXPipeline:
                     sched_plan, i, noise_pred, latents, old_pred, data["dpm_noise"][i]
                 )
             else:
-                new_latents = ddim_step(sched_plan, i, noise_pred, latents.astype(jnp.float32))
+                step_noise = data["dpm_noise"][i] if sched_plan.eta > 0.0 else None
+                new_latents = ddim_step(
+                    sched_plan, i, noise_pred, latents.astype(jnp.float32), noise=step_noise
+                )
                 new_old = old_pred
             return (new_latents.astype(jnp.float32), new_old), ()
 
@@ -536,7 +571,12 @@ class CogVideoXPipeline:
             if step_observer is not None:
                 # debug/monitoring path (reference callback_on_step_end,
                 # :1126-1134): host-stepped loop, one jitted step per pass-count;
-                # each step syncs to invoke the observer — slow by design
+                # each step syncs to invoke the observer — slow by design.
+                # MUTATING observers (reference ``_callback_tensor_inputs``):
+                # the observer may return replacement latents — either the
+                # array itself or a dict with a "latents" key — which become
+                # the carry for the next step, exactly like the reference's
+                # ``callback_outputs.pop("latents", latents)``.
                 step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
 
@@ -547,7 +587,14 @@ class CogVideoXPipeline:
                         if self.interrupt:
                             return carry[0]
                         carry = f(carry, i, data)
-                        step_observer(i, np.asarray(carry[0]))
+                        ret = step_observer(i, np.asarray(carry[0]))
+                        if ret is not None:
+                            new_lat = ret.get("latents") if isinstance(ret, dict) else ret
+                            if new_lat is not None:
+                                carry = (
+                                    jnp.asarray(new_lat, carry[0].dtype).reshape(carry[0].shape),
+                                    carry[1],
+                                )
                 return carry[0]
 
             return run(data)

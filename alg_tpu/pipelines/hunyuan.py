@@ -226,6 +226,7 @@ class HunyuanVideoPipeline:
         max_sequence_length: int = 256,
         image_embed_interleave: int = 2,
         output_type: str = "pil",
+        attention_kwargs: Optional[dict] = None,
         # --- ALG kwargs (reference surface, :830-854) ---
         use_low_pass_guidance: bool = False,
         lp_filter_type: str = "none",
@@ -248,6 +249,7 @@ class HunyuanVideoPipeline:
     ):
         # reset cooperative interruption for this run (reference :1127)
         self.interrupt = False
+        processing.validate_attention_kwargs(attention_kwargs)
         assert not enable_lp_img_embeds, (
             "Low-pass filter on image embeds is not supported in HunyuanVideo pipeline."
         )
@@ -623,7 +625,13 @@ class HunyuanVideoPipeline:
                         if self.interrupt:
                             return latents
                         latents = f(latents, i, data)
-                        step_observer(i, np.asarray(latents))
+                        # mutating observer (reference :1278): a returned array
+                        # or {"latents": ...} replaces the carry
+                        ret = step_observer(i, np.asarray(latents))
+                        if ret is not None:
+                            new_lat = ret.get("latents") if isinstance(ret, dict) else ret
+                            if new_lat is not None:
+                                latents = jnp.asarray(new_lat, latents.dtype).reshape(latents.shape)
                 return latents
             return run(data)
 

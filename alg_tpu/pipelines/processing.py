@@ -55,3 +55,31 @@ def postprocess_video(frames: np.ndarray, output_type: str = "pil"):
             out.append([Image.fromarray(f) for f in fr])
         return out
     raise ValueError(f"Unknown output_type {output_type!r}")
+
+
+def validate_attention_kwargs(attention_kwargs) -> None:
+    """Reference ``attention_kwargs`` passthrough surface
+    (``...cogvideox...py:1088``, ``...wan...py:915``, ``...hunyuan...py:1250``).
+
+    diffusers uses this dict to carry the per-call LoRA ``scale`` down to the
+    attention processors. This framework merges LoRA deltas into the weights
+    at load time (``alg_tpu.io.lora.merge_lora(..., scale=...)``), so
+    ``scale == 1.0`` — the diffusers default, numerically identical to merged
+    weights — is accepted as a no-op; any other value must be applied at merge
+    time (re-merge with the desired scale). Unknown keys are rejected loudly
+    rather than silently dropped (the reference would forward them to the
+    attention processors, which this framework does not have)."""
+    if attention_kwargs is None:
+        return
+    kw = dict(attention_kwargs)
+    scale = kw.pop("scale", None)
+    if kw:
+        raise ValueError(
+            f"Unsupported attention_kwargs keys {sorted(kw)}; supported: ['scale']"
+        )
+    if scale is not None and scale != 1.0:
+        raise ValueError(
+            "attention_kwargs['scale'] != 1.0: per-call LoRA scaling is applied "
+            "at merge time in this framework — re-merge with "
+            "alg_tpu.io.lora.merge_lora(..., scale=...)"
+        )

@@ -145,6 +145,7 @@ class WanPipeline:
         last_image=None,
         max_sequence_length: int = 512,
         output_type: str = "pil",
+        attention_kwargs: Optional[dict] = None,
         # --- ALG kwargs (reference surface, :612-633) ---
         use_low_pass_guidance: bool = False,
         lp_filter_type: str = "none",
@@ -164,6 +165,7 @@ class WanPipeline:
     ):
         # reset cooperative interruption for this run (reference :844 loop entry)
         self.interrupt = False
+        processing.validate_attention_kwargs(attention_kwargs)
         # check_inputs (reference :318-370): H, W must divide 16
         if height % 16 != 0 or width % 16 != 0:
             raise ValueError(f"height and width must be divisible by 16 but are {height} and {width}.")
@@ -525,7 +527,16 @@ class WanPipeline:
                         if self.interrupt:
                             return carry[0]
                         carry = f(carry, i, data)
-                        step_observer(i, np.asarray(carry[0]))
+                        # mutating observer (reference :935): a returned array
+                        # or {"latents": ...} replaces the carry
+                        ret = step_observer(i, np.asarray(carry[0]))
+                        if ret is not None:
+                            new_lat = ret.get("latents") if isinstance(ret, dict) else ret
+                            if new_lat is not None:
+                                carry = (
+                                    jnp.asarray(new_lat, carry[0].dtype).reshape(carry[0].shape),
+                                    carry[1],
+                                )
                 return carry[0]
             return run(data)
 

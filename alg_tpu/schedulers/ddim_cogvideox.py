@@ -82,7 +82,15 @@ def make_timesteps(cfg: CogVideoXDDIMConfig, num_inference_steps: int) -> np.nda
 
 @dataclasses.dataclass(frozen=True)
 class CogVideoXDDIMPlan:
-    """Per-step coefficient tables for one sampling run (all ``[T]`` fp32)."""
+    """Per-step coefficient tables for one sampling run (all ``[T]`` fp32).
+
+    ``eta > 0`` (reference ``prepare_extra_step_kwargs``,
+    ``...cogvideox...py:446-461,988``) switches :func:`ddim_step` to the
+    stochastic DDIM update — coefficients ``sqrt(ā_prev)``,
+    ``sqrt(1 − ā_prev − σ²)`` and ``σ = η·sqrt((1−ā_prev)/(1−ā_t)·(1−ā_t/ā_prev))``
+    are precomputed per step; the per-step variance noise is pre-generated
+    host-side from the run's torch-ordered generator (same pattern as
+    ``dpm_noise``) and fed to the jitted loop as an input."""
 
     timesteps: np.ndarray  # [T] int64 (for conditioning embeddings)
     a_t: np.ndarray  # [T]
@@ -91,11 +99,18 @@ class CogVideoXDDIMPlan:
     sqrt_beta: np.ndarray  # [T] sqrt(1 - ā_t)
     prediction_type: str
     init_noise_sigma: float = 1.0
+    eta: float = 0.0
+    sqrt_alpha_prev: np.ndarray = None  # [T] sqrt(ā_prev)
+    eps_coef: np.ndarray = None  # [T] sqrt(1 - ā_prev - σ²)
+    std: np.ndarray = None  # [T] σ (already scaled by η)
 
 
-def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int, timesteps=None) -> CogVideoXDDIMPlan:
+def make_ddim_plan(
+    cfg: CogVideoXDDIMConfig, num_inference_steps: int, timesteps=None, eta: float = 0.0
+) -> CogVideoXDDIMPlan:
     """``timesteps``: optional custom descending grid (reference
-    retrieve_timesteps custom-timesteps path, ...cogvideox...py:95-151)."""
+    retrieve_timesteps custom-timesteps path, ...cogvideox...py:95-151).
+    ``eta``: DDIM stochasticity (0 = deterministic, the shipped default)."""
     ac = make_alphas_cumprod(cfg)
     if timesteps is not None:
         import numpy as _np
@@ -113,6 +128,11 @@ def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int, timesteps
     a_t = np.sqrt((1.0 - alpha_prev) / (1.0 - alpha_t))
     b_t = np.sqrt(alpha_prev) - np.sqrt(alpha_t) * a_t
 
+    # stochastic-DDIM tables (η > 0): σ² = η²·(1−ā_prev)/(1−ā_t)·(1−ā_t/ā_prev)
+    var = (1.0 - alpha_prev) / (1.0 - alpha_t) * (1.0 - alpha_t / np.maximum(alpha_prev, 1e-20))
+    std = eta * np.sqrt(np.maximum(var, 0.0))
+    eps_coef = np.sqrt(np.maximum(1.0 - alpha_prev - std**2, 0.0))
+
     # coefficient tables stay HOST-side numpy: embedding them at trace time
     # costs no device->host fetch (ir_constant of a TPU-resident array must
     # round-trip through the axon tunnel, which fails mid-queue)
@@ -123,6 +143,10 @@ def make_ddim_plan(cfg: CogVideoXDDIMConfig, num_inference_steps: int, timesteps
         sqrt_alpha=np.sqrt(alpha_t).astype(np.float32),
         sqrt_beta=np.sqrt(1.0 - alpha_t).astype(np.float32),
         prediction_type=cfg.prediction_type,
+        eta=float(eta),
+        sqrt_alpha_prev=np.sqrt(alpha_prev).astype(np.float32),
+        eps_coef=eps_coef.astype(np.float32),
+        std=std.astype(np.float32),
     )
 
 
@@ -139,7 +163,40 @@ def predict_x0(plan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.n
     raise ValueError(f"Unsupported prediction_type {plan.prediction_type!r}")
 
 
-def ddim_step(plan: CogVideoXDDIMPlan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
-    """One deterministic DDIM step; ``i`` may be a traced index."""
+def predict_eps(plan, i, model_output: jnp.ndarray, sample: jnp.ndarray) -> jnp.ndarray:
+    """Model-output → ε conversion for the configured prediction type."""
+    sa = jnp.asarray(plan.sqrt_alpha)[i]
+    sb = jnp.asarray(plan.sqrt_beta)[i]
+    if plan.prediction_type == "v_prediction":
+        return sb * sample + sa * model_output
+    if plan.prediction_type == "epsilon":
+        return model_output
+    if plan.prediction_type == "sample":
+        return (sample - sa * model_output) / sb
+    raise ValueError(f"Unsupported prediction_type {plan.prediction_type!r}")
+
+
+def ddim_step(
+    plan: CogVideoXDDIMPlan,
+    i,
+    model_output: jnp.ndarray,
+    sample: jnp.ndarray,
+    noise: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """One DDIM step; ``i`` may be a traced index.
+
+    Deterministic a_t/b_t update at η = 0 (the shipped path, bit-identical to
+    before); at η > 0 the stochastic update
+    ``sqrt(ā_prev)·x0 + sqrt(1−ā_prev−σ²)·ε + σ·noise`` with the pre-generated
+    per-step ``noise`` (reference generator draw inside ``scheduler.step``)."""
     x0 = predict_x0(plan, i, model_output, sample)
-    return jnp.asarray(plan.a_t)[i] * sample + jnp.asarray(plan.b_t)[i] * x0
+    if plan.eta == 0.0:
+        return jnp.asarray(plan.a_t)[i] * sample + jnp.asarray(plan.b_t)[i] * x0
+    if noise is None:
+        raise ValueError("ddim_step with eta > 0 needs the pre-generated per-step noise")
+    eps = predict_eps(plan, i, model_output, sample)
+    return (
+        jnp.asarray(plan.sqrt_alpha_prev)[i] * x0
+        + jnp.asarray(plan.eps_coef)[i] * eps
+        + jnp.asarray(plan.std)[i] * noise
+    )

@@ -4,15 +4,33 @@ This is the framework's substitute for multi-chip hardware (SURVEY §4 item 5):
 sharding/pjit tests run against ``--xla_force_host_platform_device_count=8``
 via explicit ``jax.local_devices(backend="cpu")`` meshes.
 
-Caveat (axon tunnel): the axon plugin IGNORES ``JAX_PLATFORMS=cpu`` — on the
-dev box the default backend stays the real TPU chip and non-mesh tests run
-there (hence the compile-dominated ~30 min suite). The explicit cpu-backend
-meshes are unaffected. On machines without the plugin this forces CPU as
-written. Consequence: never run the suite concurrently with bench.py — two
-processes on the one tunneled chip crash the TPU worker.
+Recommended runners:
+
+  * **Full suite on true CPU (~12 min, TPU-free)** — the axon plugin is
+    injected via ``PYTHONPATH=/root/.axon_site`` and ignores
+    ``JAX_PLATFORMS=cpu``; clearing PYTHONPATH bypasses it entirely::
+
+        PYTHONPATH= python -m pytest tests/ -q
+
+    This is safe to run while a bench occupies the TPU (two processes on the
+    one tunneled chip crash the TPU worker).
+  * **Fast subset (<60 s, pure math)** — schedules, filters, schedulers,
+    RNG, reference parity::
+
+        PYTHONPATH= python -m pytest tests/ -m fast -q
+
+  * With PYTHONPATH left as-is, non-mesh tests run on the real tunneled TPU
+    chip (compile-dominated, ~30 min) — only useful to exercise the Pallas
+    kernels, which skip on CPU.
 """
 
 import os
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: pure-math/CPU test; `pytest -m fast` finishes in <60 s"
+    )
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -21,6 +21,8 @@ from alg_tpu.alg.matrices import (
     gaussian_blur_matrix,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def torch_gaussian_blur(x: torch.Tensor, kernel_size: int, sigma: float) -> torch.Tensor:
     """torchvision.transforms.functional.gaussian_blur math (reflect pad, separable)."""

@@ -14,6 +14,8 @@ import torch
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.fast
+
 REF_PATH = "/root/reference"
 
 

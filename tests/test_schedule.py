@@ -4,6 +4,7 @@ CogVideoX modulation/pass-switch logic, ...cogvideox...py:1029-1040)."""
 import math
 
 import numpy as np
+import pytest
 
 from alg_tpu.alg.schedule import (
     LPConfig,
@@ -11,6 +12,8 @@ from alg_tpu.alg.schedule import (
     get_lp_strength,
     modulate_filter_params,
 )
+
+pytestmark = pytest.mark.fast
 
 
 def _cfg(**kw):

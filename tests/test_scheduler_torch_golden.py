@@ -41,6 +41,8 @@ from alg_tpu.schedulers import (
     unipc_step,
 )
 
+pytestmark = pytest.mark.fast
+
 STEPS = 50
 SHAPE = (2, 4, 6)
 
@@ -87,6 +89,65 @@ class TorchDDIM:
         x0 = sa * sample - sb * model_output
         eps = sb * sample + sa * model_output
         return a_prev.sqrt() * x0 + (1.0 - a_prev).sqrt() * eps
+
+
+class TorchDDIMEta:
+    """Classic stochastic DDIM (η > 0): per-step variance recomputed in-loop,
+    ``x_prev = sqrt(ā_prev)·x0 + sqrt(1−ā_prev−σ²)·ε + σ·noise`` with
+    ``σ = η·sqrt((1−ā_prev)/(1−ā_t)·(1−ā_t/ā_prev))`` (published DDIM eq. 12;
+    reference surface via prepare_extra_step_kwargs, ...cogvideox...py:446-461)."""
+
+    def __init__(self, cfg: CogVideoXDDIMConfig, n: int, eta: float):
+        self.cfg = cfg
+        self.eta = eta
+        self.ac = _torch_alphas_cumprod(cfg)
+        self.timesteps = _torch_trailing_timesteps(cfg, n)
+        self.n = n
+
+    def step(self, model_output, t, sample, noise):
+        cfg = self.cfg
+        prev_t = t - cfg.num_train_timesteps // self.n
+        a_t = self.ac[t]
+        a_prev = self.ac[prev_t] if prev_t >= 0 else torch.tensor(1.0, dtype=torch.float64)
+        sa, sb = a_t.sqrt(), (1.0 - a_t).sqrt()
+        x0 = sa * sample - sb * model_output  # v-prediction
+        eps = sb * sample + sa * model_output
+        var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        std = self.eta * var.clamp(min=0.0).sqrt()
+        return (
+            a_prev.sqrt() * x0
+            + (1.0 - a_prev - std**2).clamp(min=0.0).sqrt() * eps
+            + std * noise
+        )
+
+
+@pytest.mark.parametrize("eta", [0.3, 1.0])
+def test_ddim_eta_torch_golden_trajectory(rng, eta):
+    cfg = CogVideoXDDIMConfig()
+    plan = make_ddim_plan(cfg, STEPS, eta=eta)
+    ref = TorchDDIMEta(cfg, STEPS, eta)
+    noises = [rng.randn(*SHAPE).astype(np.float32) for _ in range(STEPS)]
+
+    x0 = rng.randn(*SHAPE).astype(np.float32)
+    x_jax = jnp.asarray(x0)
+    x_t = torch.tensor(x0, dtype=torch.float64)
+    for i, t in enumerate(ref.timesteps):
+        mo = _fake_model(np.asarray(x_t, dtype=np.float64), float(t))
+        x_t = ref.step(torch.tensor(mo), int(t), x_t, torch.tensor(noises[i], dtype=torch.float64))
+        x_jax = ddim_step(plan, i, jnp.asarray(mo, jnp.float32), x_jax, noise=jnp.asarray(noises[i]))
+    np.testing.assert_allclose(np.asarray(x_jax), np.asarray(x_t), atol=5e-4, rtol=5e-4)
+
+
+def test_ddim_eta_zero_matches_deterministic(rng):
+    """η = 0 plans keep the bit-identical a_t/b_t fast path."""
+    cfg = CogVideoXDDIMConfig()
+    p0 = make_ddim_plan(cfg, STEPS)
+    p_eta = make_ddim_plan(cfg, STEPS, eta=0.0)
+    x = jnp.asarray(rng.randn(*SHAPE).astype(np.float32))
+    mo = jnp.asarray(rng.randn(*SHAPE).astype(np.float32))
+    a = ddim_step(p0, 3, mo, x)
+    b = ddim_step(p_eta, 3, mo, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TorchCogVideoXDPM:

@@ -8,6 +8,7 @@ tests verify the algebraic identities each solver must satisfy exactly:
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from alg_tpu.schedulers import (
@@ -25,6 +26,8 @@ from alg_tpu.schedulers import (
     unipc_step,
 )
 from alg_tpu.schedulers.ddim_cogvideox import make_alphas_cumprod, make_timesteps
+
+pytestmark = pytest.mark.fast
 
 
 def test_ddim_timesteps_trailing():

@@ -19,6 +19,8 @@ torch = pytest.importorskip("torch")
 from alg_tpu.core.rng import NoiseSource
 from alg_tpu.core.torch_rng import MT19937, TorchCPUGenerator
 
+pytestmark = pytest.mark.fast
+
 
 def _bits(a):
     a = np.asarray(a)
