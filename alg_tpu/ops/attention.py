@@ -145,29 +145,43 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
             f"attention mesh needs batch%dp==0 and heads%tp==0; got batch {b} "
             f"over dp={dp}, heads {h} over tp={tp}"
         )
+    cross = q.shape[2] != k.shape[2]
     if sp > 1:
         if causal:
             raise NotImplementedError(
                 "sequence-parallel attention is non-causal only (DiT self/joint attention)"
             )
-        if sq % sp != 0 or q.shape[2] != k.shape[2]:
-            raise ValueError(
-                f"sequence axis needs seq%sp==0 and self-attention (Sq==Sk); "
-                f"got Sq {sq}, Sk {k.shape[2]} over sp={sp}"
+        if sq % sp != 0:
+            # graceful degradation: this call runs sequence-replicated (dp/tp
+            # still apply). The DiT joint sequence at production scale divides
+            # sp; odd tiny shapes (e.g. Hunyuan video+text = 19) land here.
+            import warnings
+
+            warnings.warn(
+                f"attention seq {sq} not divisible by sp={sp}; "
+                "running this call sequence-replicated"
             )
+            sp = 1
     platform = mesh.devices.flat[0].platform
     use_pallas = platform in ("tpu", "axon") and _IMPL_OVERRIDE != "xla"
 
     seq_dim = sa if sp > 1 else None
-    qkv_spec = P(ba, ha, seq_dim, None)
-    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    # cross-attention (Sq != Sk, e.g. Wan text/image cross streams): shard the
+    # QUERY tokens over sp and replicate K/V — exact, no collective needed.
+    # Self-attention: K/V arrive sequence-sharded and are all-gathered locally.
+    kv_seq_dim = seq_dim if not cross else None
+    q_spec = P(ba, ha, seq_dim, None)
+    kv_spec = P(ba, ha, kv_seq_dim, None)
+    in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, k, v]
     if kv_len is not None:
         in_specs.append(P(ba))
         args.append(kv_len)
 
+    gather_kv = sp > 1 and not cross
+
     def local(q, k, v, kv_len=None):
-        if sp > 1:
+        if gather_kv:
             # keys/values live sequence-sharded between layers; gather the
             # full KV per shard over ICI (tiny next to the [Sq/sp, Sk] logits)
             k = jax.lax.all_gather(k, sa, axis=2, tiled=True)
@@ -182,7 +196,7 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
         local,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=qkv_spec,
+        out_specs=q_spec,
     )
     return fn(*args)
 

@@ -21,6 +21,7 @@ reference repo publishes no numbers, BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -33,6 +34,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_STEPS_PER_SEC = 0.185  # ≈270s / 50 steps, CogVideoX-5b-I2V bf16 on A100
 STEPS = 50
+
+# opt-in W8A8 int8 serving mode (VERDICT r2 #3): same shipped `_sample` path
+# with quantize_pipeline applied. bf16 stays the headline metric — int8
+# changes numerics and must be validated per checkpoint (docs/PERF.md).
+INT8 = "--int8" in sys.argv
 
 
 def main():
@@ -60,6 +66,10 @@ def main():
         scheduler="ddim",
         dtype=jnp.bfloat16,
     )
+    if INT8:
+        from alg_tpu.ops.quant import quantize_pipeline
+
+        pipe = quantize_pipeline(pipe)
 
     # shipped configs/cogvideox_alg.yaml geometry and plans
     f, h, w = 13, 60, 90
@@ -114,12 +124,14 @@ def main():
     dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
 
     steps_per_sec = STEPS / dt
+    mode = "int8 W8A8" if INT8 else "bf16"
+    metric = "cogvideox5b_denoise_steps_per_sec_per_chip" + ("_int8" if INT8 else "")
     print(
         json.dumps(
             {
-                "metric": "cogvideox5b_denoise_steps_per_sec_per_chip",
+                "metric": metric,
                 "value": round(steps_per_sec, 4),
-                "unit": "steps/s (49f@480x720, 50-step ALG CFG config, bf16, shipped sampler)",
+                "unit": f"steps/s (49f@480x720, 50-step ALG CFG config, {mode}, shipped sampler)",
                 "vs_baseline": round(steps_per_sec / A100_STEPS_PER_SEC, 3),
             }
         )

@@ -93,9 +93,17 @@ def test_quantized_pipeline_end_to_end_close_to_fp(rng):
     q = qpipe(**kwargs)
     assert q.shape == fp.shape
     assert np.isfinite(q).all()
-    # int8 changes numerics; the trajectories must stay strongly correlated
-    corr = np.corrcoef(np.asarray(q).ravel(), np.asarray(fp).ravel())[0, 1]
-    assert corr > 0.95, corr
+    # int8 changes numerics; the trajectories must stay strongly correlated.
+    # Drift stats (VERDICT r2 #3): recorded in the assertion message so a
+    # failing run reports the magnitude, and typical values are documented in
+    # docs/PERF.md (W8A8 section).
+    fp_np, q_np = np.asarray(fp), np.asarray(q)
+    corr = np.corrcoef(q_np.ravel(), fp_np.ravel())[0, 1]
+    mean_abs = float(np.abs(q_np - fp_np).mean())
+    max_abs = float(np.abs(q_np - fp_np).max())
+    rms = float(np.sqrt(np.mean(fp_np**2)))
+    assert corr > 0.95, f"corr {corr:.4f}, mean|Δ| {mean_abs:.4f}, max|Δ| {max_abs:.4f}, fp RMS {rms:.4f}"
+    assert mean_abs < 0.25 * rms, f"mean|Δ| {mean_abs:.4f} vs fp RMS {rms:.4f}"
 
 
 def test_quantized_pipeline_shards_and_matches_unsharded(rng):

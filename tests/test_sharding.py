@@ -475,7 +475,11 @@ def test_sp_attention_matches_unsharded():
         set_attention_impl(None)
 
 
-def test_sp_attention_rejects_causal_and_ragged():
+def test_sp_attention_rejects_causal_falls_back_ragged():
+    """Causal attention under sp is rejected; a sequence not divisible by sp
+    degrades gracefully to a sequence-replicated (still dp×tp-sharded) call
+    with a warning, and cross-attention (Sq != Sk) shards queries only —
+    both numerically exact vs the unsharded reference."""
     from alg_tpu.ops.attention import attention, attention_mesh_scope, set_attention_impl
     from alg_tpu.sharding import make_mesh
 
@@ -485,12 +489,19 @@ def test_sp_attention_rejects_causal_and_ragged():
     mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
     set_attention_impl("xla")
     try:
+        ref_odd = attention(q[:, :, :63], q[:, :, :63], q[:, :, :63])
+        kv = jnp.asarray(rng.randn(2, 4, 7, 16).astype(np.float32))
+        ref_cross = attention(q, kv, kv)
         with mesh, attention_mesh_scope(mesh, seq_axis="sp"):
             with pytest.raises(NotImplementedError):
                 attention(q, q, q, causal=True)
             q_odd = q[:, :, :63]
-            with pytest.raises(ValueError):
-                attention(q_odd, q_odd, q_odd)
+            with pytest.warns(UserWarning, match="not divisible by sp"):
+                out_odd = attention(q_odd, q_odd, q_odd)
+            # cross-attention: queries sp-sharded, K/V replicated
+            out_cross = attention(q, kv, kv)
+        np.testing.assert_allclose(np.asarray(out_odd), np.asarray(ref_odd), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_cross), np.asarray(ref_cross), atol=2e-5)
     finally:
         set_attention_impl(None)
 
