@@ -236,15 +236,20 @@ def _block(
     q = heads(L.linear(bp["attn"]["to_q"], joint))
     k = heads(L.linear(bp["attn"]["to_k"], joint))
     v = heads(L.linear(bp["attn"]["to_v"], joint))
-    q = L.layer_norm(bp["attn"]["norm_q"], q, cfg.qk_norm_eps)
-    k = L.layer_norm(bp["attn"]["norm_k"], k, cfg.qk_norm_eps)
     if rope_cos is not None:
         # rope tables arrive pre-padded with identity rows (cos=1, sin=0) over
         # the text prefix, so RoPE applies to the whole joint stream
         # elementwise — no scatter (slice-assign miscompiles under batch
-        # sharding with GSPMD, and elementwise fuses better anyway)
-        q = R.apply_rope_interleaved(q, rope_cos, rope_sin)
-        k = R.apply_rope_interleaved(k, rope_cos, rope_sin)
+        # sharding with GSPMD, and elementwise fuses better anyway).
+        # norm+rope run as ONE fused Pallas pass on bf16/TPU (ops/qk_prep);
+        # fp32, CPU, and mesh-sharded calls keep the identical XLA composition
+        from alg_tpu.ops.qk_prep import qk_norm_rope
+
+        q = qk_norm_rope(q, bp["attn"]["norm_q"], rope_cos, rope_sin, cfg.qk_norm_eps)
+        k = qk_norm_rope(k, bp["attn"]["norm_k"], rope_cos, rope_sin, cfg.qk_norm_eps)
+    else:
+        q = L.layer_norm(bp["attn"]["norm_q"], q, cfg.qk_norm_eps)
+        k = L.layer_norm(bp["attn"]["norm_k"], k, cfg.qk_norm_eps)
     o = attention(q, k, v, stable=False)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, dim)
     o = L.linear(bp["attn"]["to_out"], o)

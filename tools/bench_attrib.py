@@ -120,7 +120,8 @@ def main():
     results["attn_call"] = timed(lambda: att(q), t_fetch, reps=3)
     print("attn_call", results["attn_call"], flush=True)
 
-    # 3. bare forward loop
+    # 3. bare forward loop (params as ARGS — closing over them captures 11 GB
+    # of constants at lowering and stalls the remote compile)
     emb2 = jnp.concatenate([embeds_neg, embeds_pos], axis=0)
     lat2 = jnp.concatenate([latents0] * 2, axis=0).astype(jnp.bfloat16)
     cond2 = jnp.concatenate([image_latents] * 2, axis=0).astype(jnp.bfloat16)
@@ -128,10 +129,10 @@ def main():
     ts = jnp.full((2,), 500.0, jnp.float32)
 
     @jax.jit
-    def fwd(x):
-        return cogvideox_transformer(params, tcfg, x, emb2, ts, rope_cos, rope_sin)
+    def fwd(p, x):
+        return cogvideox_transformer(p, tcfg, x, emb2, ts, rope_cos, rope_sin)
 
-    t_one = timed(lambda: fwd(x_in), t_fetch)
+    t_one = timed(lambda: fwd(params, x_in), t_fetch)
     results["forward_b2"] = t_one
     print("forward_b2", t_one, flush=True)
 
