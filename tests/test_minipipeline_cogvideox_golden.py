@@ -195,6 +195,41 @@ def _torch_mini_pipeline(
     timesteps = ddim.timesteps
     old_x0 = None
 
+    def prepare_lp_pixel(mod_sigma, mod_kernel, mod_resize):
+        """Reference prepare_lp pixel branch (:628-680): filter RGB → VAE
+        encode → posterior draw (generator order!) → scale → pad frames →
+        patch_size_t front-pad."""
+        image_lp = lp_utils.apply_low_pass_filter(
+            image_tensor,
+            filter_type=lp_filter_type,
+            blur_sigma=mod_sigma,
+            blur_kernel_size=mod_kernel,
+            resize_factor=mod_resize,
+        )
+        mean, logvar = vaeref.torch_cog_vae_encode(vparams, vcfg, image_lp.unsqueeze(2))
+        std = torch.exp(0.5 * torch.clamp(logvar, -30.0, 20.0))
+        eps = torch.randn(mean.shape, generator=generator, dtype=torch.float32).double()
+        enc = mean + std * eps  # [B, z, 1, h, w]
+        if not vcfg.invert_scale_latents:
+            enc = scaling * enc
+        else:
+            enc = 1 / scaling * enc
+        enc = enc.permute(0, 2, 1, 3, 4)
+        padded_frames = (num_frames - 1) // vae_scale_t + 1
+        if padded_frames > enc.shape[1]:
+            padz = torch.zeros(
+                (batch_size, padded_frames - enc.shape[1]) + enc.shape[2:], dtype=torch.float64
+            )
+            lp_lat = torch.cat([enc, padz], dim=1)
+        else:
+            lp_lat = enc[:, :padded_frames]
+        if patch_size_t is not None:
+            rem = lp_lat.size(1) % patch_size_t
+            if rem != 0:
+                n_pre = min(patch_size_t - rem, lp_lat.shape[1])
+                lp_lat = torch.cat([lp_lat[:, :n_pre], lp_lat], dim=1)
+        return lp_lat
+
     guidance = guidance_scale
     for i, t in enumerate(timesteps):
         two_pass = True
@@ -221,21 +256,24 @@ def _torch_mini_pipeline(
             )
             mod_resize = 1.0 - (1.0 - lp_resize_factor) * lp_strength
 
-            # prepare_lp latent branch (:682-699)
-            perm = image_latents.permute(0, 2, 1, 3, 4).contiguous()
-            lp_lat = lp_utils.apply_low_pass_filter(
-                perm,
-                filter_type=lp_filter_type,
-                blur_sigma=mod_sigma,
-                blur_kernel_size=mod_kernel,
-                resize_factor=mod_resize,
-            )
-            lp_lat = lp_lat.permute(0, 2, 1, 3, 4).contiguous()
-            if patch_size_t is not None:
-                rem = lp_lat.size(1) % patch_size_t
-                if rem != 0:
-                    n_pre = min(patch_size_t - rem, lp_lat.shape[1])
-                    lp_lat = torch.cat([lp_lat[:, :n_pre], lp_lat], dim=1)
+            if lp_filter_in_latent:
+                # prepare_lp latent branch (:682-699)
+                perm = image_latents.permute(0, 2, 1, 3, 4).contiguous()
+                lp_lat = lp_utils.apply_low_pass_filter(
+                    perm,
+                    filter_type=lp_filter_type,
+                    blur_sigma=mod_sigma,
+                    blur_kernel_size=mod_kernel,
+                    resize_factor=mod_resize,
+                )
+                lp_lat = lp_lat.permute(0, 2, 1, 3, 4).contiguous()
+                if patch_size_t is not None:
+                    rem = lp_lat.size(1) % patch_size_t
+                    if rem != 0:
+                        n_pre = min(patch_size_t - rem, lp_lat.shape[1])
+                        lp_lat = torch.cat([lp_lat[:, :n_pre], lp_lat], dim=1)
+            else:
+                lp_lat = prepare_lp_pixel(mod_sigma, mod_kernel, mod_resize)
 
             if two_pass:
                 lmi = torch.cat([latents] * 2)
@@ -312,8 +350,9 @@ def _image():
         ("dpm", True, None, False),
         ("ddim", True, 2, False),
         ("ddim", False, None, True),
+        ("ddim", "pixel", None, False),
     ],
-    ids=["ddim-alg", "ddim-noalg", "dpm-alg", "ddim-alg-pst2", "ddim-dyncfg"],
+    ids=["ddim-alg", "ddim-noalg", "dpm-alg", "ddim-alg-pst2", "ddim-dyncfg", "ddim-alg-pixel"],
 )
 def test_cogvideox_minipipeline_golden(ref_lp_utils, scheduler, alg, patch_size_t, dynamic_cfg):
     tcfg, vcfg, tparams, vparams = _build(patch_size_t)
@@ -326,6 +365,10 @@ def test_cogvideox_minipipeline_golden(ref_lp_utils, scheduler, alg, patch_size_
         seed=42,
     )
     alg_kw = dict(ALG_KW) if alg else {}
+    if alg == "pixel":
+        # pixel-space branch: per-step filtered-RGB VAE encode + posterior
+        # draws through the same generator (reference :628-680)
+        alg_kw["lp_filter_in_latent"] = False
 
     lat_t, vid_t = _torch_mini_pipeline(
         ref_lp_utils, tcfg, vcfg, tparams, vparams,
