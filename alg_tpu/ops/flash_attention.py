@@ -262,6 +262,18 @@ def _fwd_kernel(
         o_ref[0] = (acc_scr[:, :d] / safe_l).astype(o_ref.dtype)
 
 
+def _aligned_block(s: int, lo: int = 512, hi: int = 2048) -> int:
+    """Largest divisor of ``s`` in [lo, hi] that is a multiple of 8 (sublane);
+    0 when none exists (caller falls back to padding)."""
+    best = 0
+    d = 8
+    while d <= hi:
+        if s % d == 0 and d >= lo:
+            best = d
+        d += 8
+    return best
+
+
 def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     pad = size - x.shape[axis]
     if pad == 0:
@@ -303,6 +315,16 @@ def flash_attention(
     shared by q and k — self-attention positions)."""
     b, h, sq_orig, d = q.shape
     sk_orig = k.shape[2]
+    # Prefer block sizes that DIVIDE the sequence exactly: the pad of q/k/v to
+    # block multiples plus the output slice are full extra HBM passes worth
+    # ~7 ms/call at the CogVideoX shape (measured v5e: 94.8 ms default
+    # 1024/2048 vs 87.4 ms aligned 1616/1616 — tools/bench_qk_prep.py).
+    # Self-attention only, both blocks from the same divisor — mixed
+    # aligned-Q/padded-K combinations miscompile (Mosaic crash, recorded).
+    if sq_orig == sk_orig and sq_orig % block_q != 0:
+        aligned = _aligned_block(sq_orig)
+        if aligned:
+            block_q = block_k = aligned
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk_orig - 1).bit_length()))
     sq = -(-sq_orig // block_q) * block_q

@@ -64,7 +64,9 @@ def _kernel(x_ref, scale_ref, bias_ref, cos_ref, sin_ref, o_ref, *, eps: float):
 
     c = cos_ref[...]
     s = sin_ref[...]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (y.shape[-1],), 0)
+    # 2-D iota mask: a 1-D lane mask broadcast against [block_s, D] trips a
+    # Mosaic relayout bug ("non-singleton logical dimension is replicated")
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
     even = (lane % 2) == 0
     rot = jnp.where(even, -_roll_lane(y, -1), _roll_lane(y, 1))
     o_ref[0] = y * c + rot * s
@@ -116,6 +118,15 @@ def qk_norm_rope(
 
     use_pallas = force == "pallas"
     if force is None:
+        # Standalone A/B on v5e measured the fused kernel at 4.67 ms/tensor vs
+        # 4.30 ms for the XLA composition (tools/bench_qk_prep.py) — XLA is
+        # already near-minimal here, so the kernel is OFF by default and kept
+        # behind ALG_TPU_QK_PREP=pallas for in-context experiments (a pallas
+        # call also blocks producer/consumer fusion with its neighbors).
+        import os
+
+        if os.environ.get("ALG_TPU_QK_PREP") != "pallas":
+            return _xla_compose(x, normp, cos, sin, eps)
         from alg_tpu.ops.attention import _MESH_CTX  # sharded calls stay on XLA
 
         try:

@@ -136,6 +136,23 @@ def main():
     results["forward_b2"] = t_one
     print("forward_b2", t_one, flush=True)
 
+    # in-context A/B of the fused qk_prep kernel (standalone it loses by
+    # ~0.4 ms/tensor; in-context the XLA composition may cost more)
+    import os
+
+    os.environ["ALG_TPU_QK_PREP"] = "pallas"
+    try:
+        fwd_fused = jax.jit(
+            lambda p, x: cogvideox_transformer(p, tcfg, x, emb2, ts, rope_cos, rope_sin)
+        )
+        t_fused = timed(lambda: fwd_fused(params, x_in), t_fetch)
+        results["forward_b2_qkprep_pallas"] = t_fused
+        print("forward_b2_qkprep_pallas", t_fused, flush=True)
+    except Exception as e:  # noqa: BLE001
+        print("forward_b2_qkprep_pallas FAILED:", type(e).__name__, e, flush=True)
+    finally:
+        os.environ.pop("ALG_TPU_QK_PREP", None)
+
     # 2. no-ALG sample
     t = timed(lambda: sample(lp_plan_for(False)), t_fetch)
     results["sample_noalg_50"] = t

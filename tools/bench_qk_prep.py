@@ -80,7 +80,7 @@ def main():
         (1024, 2048, "default 1024/2048 (pads to 18432)"),
         (1616, 2048, "bq=1616 aligned Q (pads K to 18432)"),
         (1616, 1616, "1616/1616 fully aligned (no pad/slice)"),
-        (1616, 8888, "1616/8888 fully aligned, big K"),
+        (808, 1616, "808/1616 fully aligned small Q"),
     ]:
         fn = jax.jit(
             lambda q, bq=bq, bk=bk: flash_attention(
