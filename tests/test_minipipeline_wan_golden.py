@@ -159,6 +159,30 @@ def _torch_mini_pipeline(
 
     rope_cos, rope_sin = wan_rope(tcfg, f_lat, h_lat, w_lat)
 
+    def prepare_lp_pixel(mod_sigma, mod_kernel, mod_resize):
+        """Reference prepare_lp pixel branch (:493-540): filter RGB → rebuild
+        the full mask+latent condition with a POSTERIOR draw (the initial
+        condition uses argmax; the LP rebuild samples — faithful)."""
+        image_lp = lp_utils.apply_low_pass_filter(
+            image,
+            filter_type=lp_filter_type,
+            blur_sigma=mod_sigma,
+            blur_kernel_size=mod_kernel,
+            resize_factor=mod_resize,
+        )
+        vc = torch.cat(
+            [image_lp.unsqueeze(2),
+             image_lp.new_zeros(batch_size, 3, num_frames - 1, HEIGHT, WIDTH)],
+            dim=2,
+        )
+        mean_lp, logvar_lp = vaeref.torch_wan_vae_encode(vparams, vcfg, vc)
+        std_lp = torch.exp(0.5 * torch.clamp(logvar_lp, -30.0, 20.0))
+        eps = torch.randn(mean_lp.shape, generator=generator, dtype=torch.float32).double()
+        enc = mean_lp + std_lp * eps
+        latent_cond = (enc - lmean) * lstd
+        m = _torch_mask_block(batch_size, num_frames, f_lat, h_lat, w_lat, tscale, None)
+        return torch.cat([m, latent_cond], dim=1)
+
     for i, t in enumerate(timesteps):
         if do_cfg and use_low_pass_guidance:
             lp_strength = lp_utils.get_lp_strength(
@@ -179,15 +203,18 @@ def _torch_mini_pipeline(
                 else lp_blur_kernel_size
             )
             mod_resize = 1.0 - (1.0 - lp_resize_factor) * lp_strength
-            # prepare_lp latent branch (:541-556): filters the WHOLE fused
-            # condition, mask channels included (quirk 2.4b)
-            lp_lat = lp_utils.apply_low_pass_filter(
-                condition,
-                filter_type=lp_filter_type,
-                blur_sigma=mod_sigma,
-                blur_kernel_size=mod_kernel,
-                resize_factor=mod_resize,
-            )
+            if lp_filter_in_latent:
+                # prepare_lp latent branch (:541-556): filters the WHOLE fused
+                # condition, mask channels included (quirk 2.4b)
+                lp_lat = lp_utils.apply_low_pass_filter(
+                    condition,
+                    filter_type=lp_filter_type,
+                    blur_sigma=mod_sigma,
+                    blur_kernel_size=mod_kernel,
+                    resize_factor=mod_resize,
+                )
+            else:
+                lp_lat = prepare_lp_pixel(mod_sigma, mod_kernel, mod_resize)
             # patch_size[0] == 1 → the size(1) % pt check is a no-op (:550-556)
             if lp_strength == 0.0:
                 lmi = torch.cat([latents] * 2)
@@ -226,8 +253,8 @@ def _torch_mini_pipeline(
 
 @pytest.mark.parametrize(
     "alg,flf2v",
-    [(True, False), (False, False), (True, True)],
-    ids=["alg", "noalg", "alg-flf2v"],
+    [(True, False), (False, False), (True, True), ("pixel", False)],
+    ids=["alg", "noalg", "alg-flf2v", "alg-pixel"],
 )
 def test_wan_minipipeline_golden(ref_lp_utils, alg, flf2v):
     tcfg, vcfg, tparams, vparams = _build()
@@ -238,6 +265,10 @@ def test_wan_minipipeline_golden(ref_lp_utils, alg, flf2v):
     img = r.rand(1, 3, HEIGHT, WIDTH).astype(np.float32) * 2 - 1
     last = (r.rand(1, 3, HEIGHT, WIDTH).astype(np.float32) * 2 - 1) if flf2v else None
     alg_kw = dict(ALG_KW) if alg else {}
+    if alg == "pixel":
+        # pixel branch: per-step filtered-RGB full-condition rebuild with
+        # posterior draws through the same generator (reference :493-540)
+        alg_kw["lp_filter_in_latent"] = False
 
     lat_t, vid_t = _torch_mini_pipeline(
         ref_lp_utils, tcfg, vcfg, tparams, vparams,
