@@ -322,9 +322,13 @@ def flash_attention(
     # Self-attention only, both blocks from the same divisor — mixed
     # aligned-Q/padded-K combinations miscompile (Mosaic crash, recorded).
     if sq_orig == sk_orig and sq_orig % block_q != 0:
-        aligned = _aligned_block(sq_orig)
-        if aligned:
-            block_q = block_k = aligned
+        # stable path carries extra per-query scratch (running max/denom):
+        # 1616-row q blocks exceed the 16M scoped-vmem limit by ~0.4M there,
+        # so cap its aligned block_q at 1024 (→ 808 for S=17776)
+        aligned_q = _aligned_block(sq_orig, hi=1024 if stable else 2048)
+        aligned_k = _aligned_block(sq_orig, hi=2048)
+        if aligned_q and aligned_k:
+            block_q, block_k = aligned_q, aligned_k
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk_orig - 1).bit_length()))
     sq = -(-sq_orig // block_q) * block_q

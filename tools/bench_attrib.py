@@ -116,7 +116,7 @@ def main():
     from alg_tpu.ops.attention import attention
     S = 226 + (f * (h // 2) * (w // 2))
     q = jnp.asarray(rng.randn(2, 48, S, 64), jnp.bfloat16)
-    att = jax.jit(lambda q: attention(q, q, q))
+    att = jax.jit(lambda q: attention(q, q, q, stable=False))  # = the DiT path
     results["attn_call"] = timed(lambda: att(q), t_fetch, reps=3)
     print("attn_call", results["attn_call"], flush=True)
 
