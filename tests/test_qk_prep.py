@@ -64,3 +64,14 @@ def test_dispatch_falls_back_on_cpu():
     out = qk_norm_rope(x, normp, cos, sin, 1e-6)
     if jax.devices()[0].platform not in ("tpu", "axon"):
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_flash_aligned_block_selection():
+    """Divisor-aligned flash-attention block picks (CPU-checkable logic)."""
+    from alg_tpu.ops.flash_attention import _aligned_block
+
+    assert _aligned_block(17776) == 1616            # CogVideoX joint seq
+    assert _aligned_block(17776, hi=1024) == 808    # stable-path cap
+    assert _aligned_block(1776) == 888
+    assert _aligned_block(63) == 0                  # prime-ish → padding path
+    assert _aligned_block(2048) == 2048
