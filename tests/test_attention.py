@@ -101,12 +101,12 @@ def test_fast_path_large_logits_overflow_documented(rng):
 
 @pytest.mark.parametrize("stable", [True, False])
 def test_divisor_aligned_blocks(stable, rng):
-    """S=1776 is not divisible by the default blocks; the kernel picks the
-    aligned divisor block (888) — no pad/slice — and must match the padded
+    """S=1776 is not divisible by the default blocks; the kernel picks an
+    aligned divisor block — no pad/slice — and must match the padded
     path's numerics (measured ~8% faster at production scale)."""
     from alg_tpu.ops.flash_attention import _aligned_block
 
-    assert _aligned_block(1776) == 888
+    assert _aligned_block(1776) == 1776  # whole seq fits one block
     q, k, v = _qkv(rng, 1, 2, 1776, 1776, 64)
     scale = 64**-0.5
     out = np.asarray(

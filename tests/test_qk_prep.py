@@ -72,6 +72,6 @@ def test_flash_aligned_block_selection():
 
     assert _aligned_block(17776) == 1616            # CogVideoX joint seq
     assert _aligned_block(17776, hi=1024) == 808    # stable-path cap
-    assert _aligned_block(1776) == 888
+    assert _aligned_block(1776) == 1776  # whole seq fits one block
     assert _aligned_block(63) == 0                  # prime-ish → padding path
     assert _aligned_block(2048) == 2048
