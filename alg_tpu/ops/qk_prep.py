@@ -118,14 +118,16 @@ def qk_norm_rope(
 
     use_pallas = force == "pallas"
     if force is None:
-        # Standalone A/B on v5e measured the fused kernel at 4.67 ms/tensor vs
-        # 4.30 ms for the XLA composition (tools/bench_qk_prep.py) — XLA is
-        # already near-minimal here, so the kernel is OFF by default and kept
-        # behind ALG_TPU_QK_PREP=pallas for in-context experiments (a pallas
-        # call also blocks producer/consumer fusion with its neighbors).
+        # Standalone A/B on v5e is a wash (kernel 4.67 ms/tensor vs 4.30 ms
+        # XLA, tools/bench_qk_prep.py) but IN CONTEXT the kernel wins big:
+        # the full 42-layer B=2 CogVideoX forward drops 6.42 s → 6.10 s
+        # (tools/bench_attrib.py, r3) — inside the large program XLA's
+        # norm+rope composition materializes extra passes that the standalone
+        # microbench doesn't expose. Default ON for production TPU shapes;
+        # opt out with ALG_TPU_QK_PREP=xla.
         import os
 
-        if os.environ.get("ALG_TPU_QK_PREP") != "pallas":
+        if os.environ.get("ALG_TPU_QK_PREP") == "xla":
             return _xla_compose(x, normp, cos, sin, eps)
         from alg_tpu.ops.attention import _MESH_CTX  # sharded calls stay on XLA
 

@@ -133,23 +133,24 @@ def main():
         return cogvideox_transformer(p, tcfg, x, emb2, ts, rope_cos, rope_sin)
 
     t_one = timed(lambda: fwd(params, x_in), t_fetch)
-    results["forward_b2"] = t_one
+    results["forward_b2"] = t_one  # production default (qk_prep pallas since r3)
     print("forward_b2", t_one, flush=True)
 
-    # in-context A/B of the fused qk_prep kernel (standalone it loses by
-    # ~0.4 ms/tensor; in-context the XLA composition may cost more)
+    # in-context A/B of the fused qk_prep kernel: r3 measured 6.42 s (XLA
+    # composition) vs 6.10 s (fused kernel) — the kernel is now the default,
+    # so the A/B leg here forces the XLA composition for comparison.
     import os
 
-    os.environ["ALG_TPU_QK_PREP"] = "pallas"
+    os.environ["ALG_TPU_QK_PREP"] = "xla"
     try:
-        fwd_fused = jax.jit(
+        fwd_xla = jax.jit(
             lambda p, x: cogvideox_transformer(p, tcfg, x, emb2, ts, rope_cos, rope_sin)
         )
-        t_fused = timed(lambda: fwd_fused(params, x_in), t_fetch)
-        results["forward_b2_qkprep_pallas"] = t_fused
-        print("forward_b2_qkprep_pallas", t_fused, flush=True)
+        t_xla = timed(lambda: fwd_xla(params, x_in), t_fetch)
+        results["forward_b2_qkprep_xla"] = t_xla
+        print("forward_b2_qkprep_xla", t_xla, flush=True)
     except Exception as e:  # noqa: BLE001
-        print("forward_b2_qkprep_pallas FAILED:", type(e).__name__, e, flush=True)
+        print("forward_b2_qkprep_xla FAILED:", type(e).__name__, e, flush=True)
     finally:
         os.environ.pop("ALG_TPU_QK_PREP", None)
 
