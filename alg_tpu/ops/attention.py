@@ -58,6 +58,26 @@ def _xla_attention(
 
 
 _IMPL_OVERRIDE: Optional[str] = None
+_INT8_QK = False
+
+
+def set_attention_int8(enabled: bool) -> None:
+    """Route qualifying DiT self-attention through the int8-QK^T kernel
+    (``ops/flash_attention_int8.py``) — the logits matmul runs on the 2×-rate
+    int8 MXU with per-block scales and softmax-exact K mean-centering.
+
+    Opt-in: int8 logits change numerics (~1e-2 relative drift on outputs,
+    bounded by tests/test_attention_int8.py) and must be validated per
+    checkpoint, like the W8A8 linear mode it composes with. Only dense,
+    unbiased, non-causal self-attention with head_dim % 128 != 0 on a
+    single-device TPU path qualifies; everything else (text encoders,
+    kv_len/bias/causal calls, mesh-sharded calls) keeps the bf16 kernel."""
+    global _INT8_QK
+    _INT8_QK = bool(enabled)
+
+
+def get_attention_int8() -> bool:
+    return _INT8_QK
 
 
 def get_attention_impl() -> Optional[str]:
@@ -279,6 +299,19 @@ def attention(
             impl = _IMPL_OVERRIDE
         else:
             impl = "pallas" if supports_flash(q, k, v, bias) else "xla"
+    if (
+        _INT8_QK
+        and impl == "pallas"
+        and not causal
+        and kv_len is None
+        and bias is None
+        and prolog is None
+        and q.shape[2] == k.shape[2]
+        and q.shape[-1] % 128 != 0
+    ):
+        from alg_tpu.ops.flash_attention_int8 import flash_attention_int8
+
+        return flash_attention_int8(q, k, v, scale=scale)
     if impl == "pallas":
         if prolog is not None:
             return flash_attention(

@@ -39,6 +39,9 @@ STEPS = 50
 # with quantize_pipeline applied. bf16 stays the headline metric — int8
 # changes numerics and must be validated per checkpoint (docs/PERF.md).
 INT8 = "--int8" in sys.argv
+# opt-in int8-QK^T attention (ops/flash_attention_int8.py); composes with
+# --int8 for the full int8 serving mode
+INT8_ATTN = "--int8-attn" in sys.argv
 
 
 def main():
@@ -70,6 +73,10 @@ def main():
         from alg_tpu.ops.quant import quantize_pipeline
 
         pipe = quantize_pipeline(pipe)
+    if INT8_ATTN:
+        from alg_tpu.ops.attention import set_attention_int8
+
+        set_attention_int8(True)
 
     # shipped configs/cogvideox_alg.yaml geometry and plans
     f, h, w = 13, 60, 90
@@ -124,8 +131,11 @@ def main():
     dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
 
     steps_per_sec = STEPS / dt
-    mode = "int8 W8A8" if INT8 else "bf16"
-    metric = "cogvideox5b_denoise_steps_per_sec_per_chip" + ("_int8" if INT8 else "")
+    suffix = {(False, False): "", (True, False): "_int8", (False, True): "_int8attn",
+              (True, True): "_int8full"}[(INT8, INT8_ATTN)]
+    mode = {"": "bf16", "_int8": "int8 W8A8", "_int8attn": "bf16 + int8 QK^T attn",
+            "_int8full": "int8 W8A8 + int8 QK^T attn"}[suffix]
+    metric = "cogvideox5b_denoise_steps_per_sec_per_chip" + suffix
     print(
         json.dumps(
             {

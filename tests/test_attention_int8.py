@@ -1,0 +1,113 @@
+"""Int8-QK^T flash attention: kernel correctness + quantization drift bounds.
+
+Two layers of checking (both CPU, kernel in interpret mode):
+
+1. **Exactness vs the same quantized math in plain JAX** — proves the Pallas
+   kernel computes precisely the intended quantized attention (blocking,
+   scale bookkeeping, fused row-sum, padding) with no additional error.
+2. **Drift vs exact fp32 attention** — bounds the int8 quantization error on
+   DiT-like inputs (per-head LayerNormed q/k rows, the distribution the
+   per-block scale design assumes; see ops/flash_attention_int8.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.ops.attention import _xla_attention
+from alg_tpu.ops.flash_attention_int8 import (
+    flash_attention_int8,
+    quantize_qk_int8,
+)
+
+pytestmark = pytest.mark.fast
+
+
+def _dit_like_qkv(rng, b, h, s, d):
+    """Rows ~ LayerNorm output (unit-ish per-row scale), like post-qk-norm."""
+    q = rng.randn(b, h, s, d).astype(np.float32)
+    k = rng.randn(b, h, s, d).astype(np.float32)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True) * np.sqrt(d)
+    k = k / np.linalg.norm(k, axis=-1, keepdims=True) * np.sqrt(d)
+    # a common-mode K component that mean-centering should remove
+    k = k + 3.0 * rng.randn(b, h, 1, d).astype(np.float32)
+    v = rng.randn(b, h, s, d).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def _quantized_reference(q, k, v, scale, block_q, block_k):
+    """The kernel's intended math in plain JAX (same quantizer)."""
+    b, h, s, d = q.shape
+    q_int, k_int, sq_blk, sk_blk = quantize_qk_int8(q, k, scale, block_q, block_k)
+    qi = q_int.reshape(b, h, s, d).astype(jnp.int32)
+    ki = k_int.reshape(b, h, s, d).astype(jnp.int32)
+    logits_int = jnp.einsum("bhqd,bhkd->bhqk", qi, ki)
+    sq = jnp.repeat(sq_blk.reshape(b, h, -1), block_q, axis=2)  # [b,h,s]
+    sk = jnp.repeat(sk_blk.reshape(b, h, -1), block_k, axis=2)
+    expo = logits_int.astype(jnp.float32) * sq[..., :, None] * sk[..., None, :]
+    p = jnp.exp2(expo)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v) / jnp.sum(p, axis=-1, keepdims=True)
+
+
+@pytest.mark.parametrize("s,bq,bk", [(256, 128, 128), (384, 128, 384)])
+def test_kernel_matches_quantized_reference(s, bq, bk):
+    rng = np.random.RandomState(0)
+    q, k, v = _dit_like_qkv(rng, 1, 2, s, 64)
+    scale = 64**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=bq, block_k=bk, interpret=True)
+    ref = _quantized_reference(q, k, v, scale, bq, bk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_pads_ragged_sequence():
+    """S not divisible by any aligned block → zero-pad path; padded keys must
+    contribute nothing (ones-column gating) and padded queries are sliced."""
+    rng = np.random.RandomState(1)
+    s = 200  # pads to 1024 with the default fallback blocks
+    q, k, v = _dit_like_qkv(rng, 1, 1, s, 64)
+    scale = 64**-0.5
+    out = flash_attention_int8(q, k, v, scale, interpret=True)
+    assert out.shape == (1, 1, s, 64)
+    # drift-level agreement with exact attention proves pads didn't leak
+    exact = _xla_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out) - np.asarray(exact))
+    assert err.mean() < 5e-3 and err.max() < 5e-2
+
+
+def test_drift_vs_exact_attention_bounded():
+    rng = np.random.RandomState(2)
+    q, k, v = _dit_like_qkv(rng, 2, 4, 512, 64)
+    scale = 64**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=256, block_k=256, interpret=True)
+    exact = _xla_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out) - np.asarray(exact))
+    ref_rms = float(np.sqrt((np.asarray(exact) ** 2).mean()))
+    # measured on this distribution: mean/rms ≈ 1.0e-2, max/rms ≈ 9.7e-2 —
+    # the int8 reality (same order as W8A8 linears); bounds are regression
+    # guards at ~1.5–2× the measured values
+    assert err.mean() / ref_rms < 2e-2, (err.mean(), ref_rms)
+    assert err.max() / ref_rms < 1.5e-1, (err.max(), ref_rms)
+
+
+def test_mean_centering_is_softmax_exact():
+    """Subtracting the K sequence-mean must not change exact attention —
+    the invariance the int8 range reduction relies on."""
+    rng = np.random.RandomState(3)
+    q, k, v = _dit_like_qkv(rng, 1, 2, 128, 64)
+    scale = 64**-0.5
+    kc = k - k.mean(axis=2, keepdims=True)
+    a = _xla_attention(q, k, v, scale)
+    b = _xla_attention(q, kc, v, scale)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_rejects_unsupported_shapes():
+    rng = np.random.RandomState(4)
+    q, k, v = _dit_like_qkv(rng, 1, 1, 128, 128)
+    with pytest.raises(ValueError, match="head_dim"):
+        flash_attention_int8(q, k, v, 128**-0.5, interpret=True)
+    q2, k2, v2 = _dit_like_qkv(rng, 1, 1, 128, 64)
+    with pytest.raises(ValueError, match="self-attention"):
+        flash_attention_int8(q2, k2[:, :, :64], v2[:, :, :64], 64**-0.5, interpret=True)
