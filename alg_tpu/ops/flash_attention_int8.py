@@ -88,6 +88,7 @@ def _kernel(
     sk_orig: int,
     nq: int,
     nk: int,
+    no_exp2: bool = False,
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
@@ -104,7 +105,10 @@ def _kernel(
     # bounded-logit fast path (same argument as the bf16 kernel): dequantized
     # logits match the true ones to ~1%, so |logit·log2e| stays ≪ 120 and the
     # fp32 exp2 is exact without a running max
-    p = jnp.exp2(s32.astype(jnp.float32) * sc)
+    if no_exp2:  # perf control: is the kernel VPU-bound? (wrong numerics)
+        p = s32.astype(jnp.float32) * sc
+    else:
+        p = jnp.exp2(s32.astype(jnp.float32) * sc)
 
     # fused row-sum: ones column at lane d on valid key rows only — padded
     # keys (k_int = 0 ⇒ p = 1) contribute nothing to numerator (v rows zero)
@@ -143,7 +147,9 @@ def _aligned_or_pad(s: int, default_q: int, default_k: int):
     return default_q, default_k, sp
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "no_exp2")
+)
 def flash_attention_int8(
     q: jnp.ndarray,  # [B, H, S, D] bf16/f32 (post norm+rope)
     k: jnp.ndarray,
@@ -152,6 +158,7 @@ def flash_attention_int8(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    no_exp2: bool = False,  # perf control only — wrong numerics
 ) -> jnp.ndarray:
     """Dense self-attention with int8 QK^T (see module docstring)."""
     b, h, s, d = q.shape
@@ -170,7 +177,8 @@ def flash_attention_int8(
     d_aug = -(-(d + 1) // 128) * 128
 
     kernel = functools.partial(
-        _kernel, d=d, d_aug=d_aug, block_k=block_k, sk_orig=s, nq=nq, nk=nk
+        _kernel, d=d, d_aug=d_aug, block_k=block_k, sk_orig=s, nq=nq, nk=nk,
+        no_exp2=no_exp2,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -140,6 +140,13 @@ class CogVideoXPipeline:
         ids = self.tokenize(prompts, max_sequence_length)
         return self.encode_prompt_ids(ids)
 
+    def _vae_dtype(self):
+        """Dtype the VAE weights are stored in — convs run in it, like the
+        reference (diffusers casts latents/pixels to ``vae.dtype``; running
+        a bf16 VAE's convs in promoted fp32 was 4× slower on the MXU)."""
+        leaves = jax.tree_util.tree_leaves(self.vae_params)
+        return leaves[0].dtype if leaves else jnp.float32
+
     def vae_encode_sample(self, image_bfchw: np.ndarray, noise: NoiseSource) -> jnp.ndarray:
         """VAE-encode ``[B, F, C, H, W]`` pixels and draw the posterior sample
         with torch-ordered noise. Returns latents in [B, F, C, h, w].
@@ -149,7 +156,7 @@ class CogVideoXPipeline:
         posterior draw always happens on the assembled moments."""
         from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
-        x = jnp.asarray(image_bfchw, jnp.float32).transpose(0, 1, 3, 4, 2)  # → BFHWC
+        x = jnp.asarray(image_bfchw, self._vae_dtype()).transpose(0, 1, 3, 4, 2)  # → BFHWC
         fn = jax.jit(lambda params, x: cogvideox_vae_encode(params, self.vae_cfg, x))
         if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3], self.vae_encode_tiling):
             mean, logvar = tiled_encode(
@@ -157,6 +164,7 @@ class CogVideoXPipeline:
             )
         else:
             mean, logvar = fn(self.vae_params, x)
+        mean, logvar = mean.astype(jnp.float32), logvar.astype(jnp.float32)
         # torch draws in [B, C, F, h, w] layout (diffusers DiagonalGaussian)
         b, f, h, w, c = mean.shape
         eps = noise.randn((b, c, f, h, w)).transpose(0, 2, 3, 4, 1)  # → BFHWC
@@ -436,7 +444,7 @@ class CogVideoXPipeline:
             rgb = apply_filter_matrices(data["pixel_image"], mh, mw)  # [B, 1, C, H, W]
             from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
-            rgb_c = rgb.transpose(0, 1, 3, 4, 2)
+            rgb_c = rgb.transpose(0, 1, 3, 4, 2).astype(self._vae_dtype())
             if auto_tile_encode(
                 rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3], self.vae_encode_tiling
             ):
@@ -447,6 +455,7 @@ class CogVideoXPipeline:
                 )
             else:
                 mean, logvar = cogvideox_vae_encode(data["vae_params"], self.vae_cfg, rgb_c)
+            mean, logvar = mean.astype(jnp.float32), logvar.astype(jnp.float32)
             std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
             z = mean + std * data["pixel_vae_noise"][i]
             z = z.transpose(0, 1, 4, 2, 3)  # → [B, 1, C, h, w]
@@ -608,7 +617,7 @@ class CogVideoXPipeline:
         from alg_tpu.models.vae_tiling import tiled_decode
 
         z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor
-        z = z.transpose(0, 1, 3, 4, 2)  # → BFHWC
+        z = z.transpose(0, 1, 3, 4, 2).astype(self._vae_dtype())  # → BFHWC
         fn = jax.jit(lambda params, z: cogvideox_vae_decode(params, self.vae_cfg, z))
         if vae_tiling is None:
             vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
@@ -618,4 +627,4 @@ class CogVideoXPipeline:
             )
         else:
             frames = fn(self.vae_params, z)
-        return frames.transpose(0, 1, 4, 2, 3)  # → [B, F, C, H, W]
+        return frames.transpose(0, 1, 4, 2, 3).astype(jnp.float32)  # → [B, F, C, H, W]

@@ -108,6 +108,12 @@ class HunyuanVideoPipeline:
     def vae_scale_factor_temporal(self) -> int:
         return self.vae_cfg.temporal_compression_ratio
 
+    def _vae_dtype(self):
+        """Dtype the VAE weights are stored in — convs run in it, like the
+        reference (diffusers casts latents/pixels to ``vae.dtype``)."""
+        leaves = jax.tree_util.tree_leaves(self.vae_params)
+        return leaves[0].dtype if leaves else jnp.float32
+
     # -- prompt encoding -----------------------------------------------------
 
     @functools.cached_property
@@ -287,7 +293,7 @@ class HunyuanVideoPipeline:
             image_tensor = processing.preprocess_image(image, height, width)
         else:
             image_tensor = np.asarray(image, np.float32)
-        x = jnp.asarray(image_tensor, jnp.float32)[:, None].transpose(0, 1, 3, 4, 2)
+        x = jnp.asarray(image_tensor, self._vae_dtype())[:, None].transpose(0, 1, 3, 4, 2)
         enc = jax.jit(lambda p, x: hunyuan_vae_encode(p, self.vae_cfg, x)[0])
         from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
@@ -297,7 +303,7 @@ class HunyuanVideoPipeline:
             )
         else:
             mean0 = enc(self.vae_params, x)
-        image_latents = mean0.transpose(0, 4, 1, 2, 3)  # [B,z,1,h,w]
+        image_latents = mean0.astype(jnp.float32).transpose(0, 4, 1, 2, 3)  # [B,z,1,h,w]
         image_latents = image_latents * self.vae_cfg.scaling_factor
         batch_img = image_latents.shape[0]
 
@@ -469,7 +475,7 @@ class HunyuanVideoPipeline:
             rgb = apply_filter_matrices(data["pixel_image"], mh, mw)
             from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
-            rgb_c = rgb.transpose(0, 1, 3, 4, 2)
+            rgb_c = rgb.transpose(0, 1, 3, 4, 2).astype(self._vae_dtype())
             if auto_tile_encode(
                 rgb_c.shape[1], rgb_c.shape[2], rgb_c.shape[3], self.vae_encode_tiling
             ):
@@ -480,7 +486,7 @@ class HunyuanVideoPipeline:
                 )
             else:
                 mean, _ = hunyuan_vae_encode(data["vae_params"], self.vae_cfg, rgb_c)
-            z = mean.transpose(0, 4, 1, 2, 3) * self.vae_cfg.scaling_factor
+            z = mean.astype(jnp.float32).transpose(0, 4, 1, 2, 3) * self.vae_cfg.scaling_factor
             if latent_concat:
                 il = data["image_latents"]
                 z = jnp.concatenate(
@@ -641,7 +647,7 @@ class HunyuanVideoPipeline:
         from alg_tpu.models.vae_tiling import tiled_decode
 
         z = latents.astype(jnp.float32) / self.vae_cfg.scaling_factor
-        z = z.transpose(0, 2, 3, 4, 1)
+        z = z.transpose(0, 2, 3, 4, 1).astype(self._vae_dtype())
         fn = jax.jit(lambda p, z: hunyuan_vae_decode(p, self.vae_cfg, z))
         if vae_tiling is None:
             vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
@@ -649,4 +655,4 @@ class HunyuanVideoPipeline:
             out = tiled_decode(lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale)
         else:
             out = fn(self.vae_params, z)
-        return out.transpose(0, 4, 1, 2, 3)
+        return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)

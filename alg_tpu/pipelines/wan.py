@@ -298,6 +298,12 @@ class WanPipeline:
         mask = mask.reshape(batch_size, -1, t, h_lat, w_lat).transpose(0, 2, 1, 3, 4)
         return mask  # [B, t=4, F_lat, h, w]
 
+    def _vae_dtype(self):
+        """Dtype the VAE weights are stored in — convs run in it, matching
+        the reference (fp32 for Wan's faithful config, `run.py:51-55`)."""
+        leaves = jax.tree_util.tree_leaves(self.vae_params)
+        return leaves[0].dtype if leaves else jnp.float32
+
     def _encode_video_condition_p(self, vae_params, video_bfchw: jnp.ndarray) -> jnp.ndarray:
         """argmax (mode) VAE encode + latents_mean/std normalize → [B,z,F',h,w].
 
@@ -306,7 +312,7 @@ class WanPipeline:
         untiled, so it goes through overlapping spatial tiles."""
         from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
-        x = video_bfchw.transpose(0, 1, 3, 4, 2)  # BFHWC
+        x = video_bfchw.transpose(0, 1, 3, 4, 2).astype(self._vae_dtype())  # BFHWC
         if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3], self.vae_encode_tiling):
             mean = tiled_encode(
                 lambda xt: wan_vae_encode(vae_params, self.vae_cfg, xt)[0],
@@ -315,7 +321,7 @@ class WanPipeline:
             )
         else:
             mean, _ = wan_vae_encode(vae_params, self.vae_cfg, x)
-        z = mean.transpose(0, 4, 1, 2, 3)  # [B, z, F', h, w]
+        z = mean.astype(jnp.float32).transpose(0, 4, 1, 2, 3)  # [B, z, F', h, w]
         lm = jnp.asarray(self.vae_cfg.latents_mean, jnp.float32).reshape(1, -1, 1, 1, 1)
         ls = jnp.asarray(self.vae_cfg.latents_std, jnp.float32).reshape(1, -1, 1, 1, 1)
         return (z - lm) / ls
@@ -405,6 +411,7 @@ class WanPipeline:
             rgb = apply_filter_matrices(data["pixel_image"], mh, mw)
             zeros = jnp.zeros((rgb.shape[0], num_frames - 1) + rgb.shape[2:], jnp.float32)
             video = jnp.concatenate([rgb, zeros], axis=1).transpose(0, 1, 3, 4, 2)
+            video = video.astype(self._vae_dtype())
             from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
             if auto_tile_encode(
@@ -417,6 +424,7 @@ class WanPipeline:
                 )
             else:
                 mean, logvar = wan_vae_encode(data["vae_params"], self.vae_cfg, video)
+            mean, logvar = mean.astype(jnp.float32), logvar.astype(jnp.float32)
             std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
             z = (mean + std * data["pixel_vae_noise"][i]).transpose(0, 4, 1, 2, 3)
             z = (z - jnp.asarray(lm_np)) / jnp.asarray(ls_np)
@@ -548,7 +556,7 @@ class WanPipeline:
         lm = jnp.asarray(np.asarray(self.vae_cfg.latents_mean, np.float32)).reshape(1, -1, 1, 1, 1)
         ls = jnp.asarray(np.asarray(self.vae_cfg.latents_std, np.float32)).reshape(1, -1, 1, 1, 1)
         z = latents.astype(jnp.float32) * ls + lm
-        z = z.transpose(0, 2, 3, 4, 1)  # BFHWC
+        z = z.transpose(0, 2, 3, 4, 1).astype(self._vae_dtype())  # BFHWC
         fn = jax.jit(lambda params, z: wan_vae_decode(params, self.vae_cfg, z))
         if vae_tiling is None:
             vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
@@ -556,4 +564,4 @@ class WanPipeline:
             frames = tiled_decode(lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale)
         else:
             frames = fn(self.vae_params, z)
-        return frames.transpose(0, 4, 1, 2, 3)
+        return frames.transpose(0, 4, 1, 2, 3).astype(jnp.float32)

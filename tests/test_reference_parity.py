@@ -22,9 +22,17 @@ REF_PATH = "/root/reference"
 @pytest.fixture(scope="module")
 def ref_lp_utils():
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tvt = types.ModuleType("torchvision.transforms")
         tvf = types.ModuleType("torchvision.transforms.functional")
+        # a module in sys.modules with __spec__ = None breaks any later
+        # importlib.util.find_spec("torchvision") (e.g. inside transformers'
+        # optional-dependency probing) with "torchvision.__spec__ is None" —
+        # give the stubs real specs
+        for mod in (tv, tvt, tvf):
+            mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, loader=None)
 
         def gaussian_blur(img, kernel_size, sigma):  # formula-equivalent stand-in
             ks = kernel_size[0]

@@ -5,7 +5,10 @@ in the int8 timing (it is part of the call's real cost).
 Axon timing discipline as in tools/bench_attention.py. ONE TPU process.
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax
@@ -43,14 +46,25 @@ def main():
     dt = bench(lambda: flash_attention(q, k, v, scale=d**-0.5, stable=False), sl)
     print(f"bf16 fast path: {dt*1e3:.1f} ms, {flops/dt/1e12:.1f} TFLOP/s", flush=True)
 
-    for bq, bk in ((None, None), (808, 808), (404, 1616), (808, 404)):
-        kw = {} if bq is None else {"block_q": bq, "block_k": bk}
+    # bf16 kernel at the int8 kernel's grid — isolates grid/DMA effects
+    dt = bench(
+        lambda: flash_attention(q, k, v, scale=d**-0.5, stable=False,
+                                block_q=808, block_k=1616), sl
+    )
+    print(f"bf16 fast 808/1616: {dt*1e3:.1f} ms, {flops/dt/1e12:.1f} TFLOP/s", flush=True)
+
+    for bq, bk, extra in ((None, None, {}), (808, 808, {}),
+                          (None, None, {"no_exp2": True}),
+                          (1616, 1616, {})):
+        kw = dict(extra)
+        if bq is not None:
+            kw.update(block_q=bq, block_k=bk)
         try:
             dt = bench(lambda: flash_attention_int8(q, k, v, scale=d**-0.5, **kw), sl)
-            print(f"int8 qk {bq or 'auto'}/{bk or 'auto'}: {dt*1e3:.1f} ms, "
+            print(f"int8 qk {bq or 'auto'}/{bk or 'auto'} {extra}: {dt*1e3:.1f} ms, "
                   f"{flops/dt/1e12:.1f} TFLOP/s-equiv", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"int8 qk {bq}/{bk}: FAIL {type(e).__name__}: {e}", flush=True)
+            print(f"int8 qk {bq}/{bk} {extra}: FAIL {type(e).__name__}: {e}", flush=True)
 
     # numeric sanity at full scale vs the bf16 kernel
     a = flash_attention(q, k, v, scale=d**-0.5, stable=False)
