@@ -34,7 +34,13 @@ def quantize_kernel(kernel: jnp.ndarray):
     absmax = np.max(np.abs(w), axis=-2, keepdims=True)  # over the IN axis
     scale = np.maximum(absmax, 1e-12) / 127.0
     wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    return jnp.asarray(wq), jnp.asarray(scale, jnp.float32)
+    out = jnp.asarray(wq)
+    # stacked block kernels are ~0.4 GB int8 each — drain the transfer queue
+    # per leaf so host-side tunnel buffers stay bounded (axon discipline)
+    from alg_tpu.core.device import sync
+
+    sync(out)
+    return out, jnp.asarray(scale, jnp.float32)
 
 
 def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
@@ -96,9 +102,59 @@ def quantize_transformer_params(params: dict) -> dict:
 
 
 def quantize_pipeline(pipe):
-    """Return a copy of a pipeline with its transformer blocks W8A8-quantized."""
+    """Return a copy of a pipeline with its transformer blocks W8A8-quantized.
+
+    HBM caution (single chip): quantization walks the existing device tree
+    (each kernel round-trips via host), and the CALLER's references keep the
+    original bf16 tree alive — both trees are resident until the caller drops
+    the unquantized pipeline/params. At CogVideoX-5b scale (10.1 GB bf16 +
+    5 GB int8) that exceeds v5e-1 HBM with activations; quantize at load time
+    instead with :func:`host_init_quantized_params` (synthetic weights) or by
+    quantizing the safetensors tree host-side before streaming."""
     import dataclasses
 
     return dataclasses.replace(
         pipe, transformer_params=quantize_transformer_params(pipe.transformer_params)
     )
+
+
+def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02):
+    """Random-init a transformer tree HOST-side, quantize its block linears
+    host-side, and stream only the quantized result to the device.
+
+    The W8A8 analog of ``core.device.host_init_params``: the device never
+    holds the bf16 originals, so peak HBM is the final int8 tree (~half the
+    bf16 size) — the only path that fits 5b-scale W8A8 on one v5e chip."""
+    import ml_dtypes
+
+    from alg_tpu.core.device import sync
+
+    shapes = jax.eval_shape(init_fn)
+    rng = np.random.default_rng(seed)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    host = []
+    for leaf in leaves:
+        arr = rng.standard_normal(leaf.shape, dtype=np.float32) * scale
+        if leaf.dtype == jnp.bfloat16:
+            arr = arr.astype(ml_dtypes.bfloat16)
+        else:
+            arr = arr.astype(leaf.dtype)
+        host.append(arr)
+    tree = jax.tree_util.tree_unflatten(treedef, host)
+    qtree = quantize_transformer_params(tree)  # kernels stream as they quantize
+
+    pending = [0]
+
+    def put(x):
+        if isinstance(x, np.ndarray):
+            d = jax.device_put(x)
+            pending[0] += d.size * d.dtype.itemsize
+            if pending[0] > (1 << 30):
+                sync(d)
+                pending[0] = 0
+            return d
+        return x
+
+    out = jax.tree_util.tree_map(put, qtree)
+    sync(jax.tree_util.tree_leaves(out)[0])
+    return out

@@ -58,9 +58,15 @@ def main():
 
     tcfg = CogVideoXTransformerConfig()  # 5b: 42 layers, 48 heads x 64, dim 3072
     vcfg = CogVideoXVAEConfig()
-    params = host_init_params(
-        lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16)
-    )
+    init_fn = lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16)
+    if INT8:
+        # quantize host-side at init: bf16 + int8 trees together exceed
+        # v5e-1 HBM (see ops/quant.host_init_quantized_params)
+        from alg_tpu.ops.quant import host_init_quantized_params
+
+        params = host_init_quantized_params(init_fn)
+    else:
+        params = host_init_params(init_fn)
     pipe = CogVideoXPipeline(
         transformer_cfg=tcfg,
         transformer_params=params,
@@ -69,10 +75,6 @@ def main():
         scheduler="ddim",
         dtype=jnp.bfloat16,
     )
-    if INT8:
-        from alg_tpu.ops.quant import quantize_pipeline
-
-        pipe = quantize_pipeline(pipe)
     if INT8_ATTN:
         from alg_tpu.ops.attention import set_attention_int8
 

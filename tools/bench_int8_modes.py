@@ -30,7 +30,6 @@ STEPS = 50
 
 def main():
     from alg_tpu.alg.schedule import LPConfig, build_lp_plan
-    from alg_tpu.core.device import host_init_params
     from alg_tpu.models.cogvideox import (
         CogVideoXTransformerConfig,
         CogVideoXVAEConfig,
@@ -38,20 +37,20 @@ def main():
         init_cogvideox_transformer,
     )
     from alg_tpu.ops.attention import set_attention_int8
-    from alg_tpu.ops.quant import quantize_pipeline
+    from alg_tpu.ops.quant import host_init_quantized_params
     from alg_tpu.pipelines import CogVideoXPipeline
     from alg_tpu.schedulers import CogVideoXDDIMConfig, make_ddim_plan
 
     tcfg = CogVideoXTransformerConfig()
     print("streaming weights...", flush=True)
-    params = host_init_params(
+    # quantize host-side at init: the bf16 tree (10.1 GB) + int8 copy exceed
+    # v5e-1 HBM if quantize_pipeline walks an already-on-device tree
+    params = host_init_quantized_params(
         lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16)
     )
-    pipe = quantize_pipeline(
-        CogVideoXPipeline(
-            transformer_cfg=tcfg, transformer_params=params, vae_cfg=CogVideoXVAEConfig(),
-            vae_params=None, scheduler="ddim", dtype=jnp.bfloat16,
-        )
+    pipe = CogVideoXPipeline(
+        transformer_cfg=tcfg, transformer_params=params, vae_cfg=CogVideoXVAEConfig(),
+        vae_params=None, scheduler="ddim", dtype=jnp.bfloat16,
     )
 
     f, h, w = 13, 60, 90
