@@ -68,9 +68,11 @@ class MT19937:
             s[j] = prev
         self._state = s
         self._idx = _N
-        # torch CPUGeneratorImpl per-generator Box-Muller caches
+        # torch CPUGeneratorImpl per-generator Box-Muller cache. torch also
+        # keeps a float cache, but no reproduced draw path reads it: fp32
+        # draws >= 16 elements use normal_fill (cacheless) and smaller ones
+        # go through the double path, mirroring the dispatch here.
         self.next_double_normal_sample: Optional[float] = None
-        self.next_float_normal_sample: Optional[float] = None
 
     def _regen(self) -> None:
         s = self._state
@@ -319,16 +321,14 @@ class TorchCPUGenerator:
         if dt == np.float32 and n >= 16:
             # normal_fill (DistributionTemplates.h:169-195)
             data = self._uniform_f32(n)
-            n_full = (n // 16) * 16 if n % 16 == 0 else ((n - 16) // 16 + 1) * 16
             # aligned full blocks: offsets 0, 16, ... while i < size - 15
-            n_aligned = ((n - 16) // 16 + 1) * 16 if n >= 16 else 0
+            n_aligned = ((n - 16) // 16 + 1) * 16
             data[:n_aligned] = _normal_fill_16_blocks(
                 data[:n_aligned].reshape(-1, 16)
             ).reshape(-1)
             if n % 16 != 0:
                 tail = self._uniform_f32(16)
                 data[n - 16:] = _normal_fill_16_blocks(tail.reshape(1, 16)).reshape(-1)
-            del n_full
             return data.reshape(shape)
         if dt == np.float64 and n >= 16:
             # double normal_fill uses the scalar NormalFill16<double> with

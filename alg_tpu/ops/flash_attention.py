@@ -327,6 +327,13 @@ def flash_attention(
         # so cap its aligned block_q at 1024 (→ 808 for S=17776)
         aligned_q = _aligned_block(sq_orig, hi=1024 if stable else 2048)
         aligned_k = _aligned_block(sq_orig, hi=2048)
+        # bound the JOINT tile too: the bq×bk fp32 logits buffer must stay
+        # inside scoped vmem. 1616×1616 is measured-good (fused path);
+        # 2000×2000 (16 MB logits alone) is not — shrink block_q to smaller
+        # divisors of S, keeping block_k large, before accepting the pair.
+        cap = (1024 * 2048) if stable else (1616 * 1616)
+        while aligned_q and aligned_k and aligned_q * aligned_k > cap:
+            aligned_q = _aligned_block(sq_orig, lo=256, hi=aligned_q - 8)
         if aligned_q and aligned_k:
             block_q, block_k = aligned_q, aligned_k
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))

@@ -137,10 +137,13 @@ def _aligned_or_pad(s: int, default_q: int, default_k: int):
     ≤ ~1.3M elements (2 × 5.2 MB at 808×1616) inside the 16 MB scoped limit."""
     from alg_tpu.ops.flash_attention import _aligned_block
 
+    cap = 808 * 1616  # measured-good joint tile (2 × 5.2 MB) — enforce it
     if s % default_q == 0 and s % default_k == 0:
         return default_q, default_k, s
     aq = _aligned_block(s, hi=1024)
     ak = _aligned_block(s, hi=2048)
+    while aq and ak and aq * ak > cap:
+        aq = _aligned_block(s, lo=256, hi=aq - 8)
     if aq and ak:
         return aq, ak, s
     sp = -(-s // default_k) * default_k

@@ -156,5 +156,7 @@ def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02):
         return x
 
     out = jax.tree_util.tree_map(put, qtree)
-    sync(jax.tree_util.tree_leaves(out)[0])
+    # drain on the LAST leaf streamed — the first was already synced above,
+    # so syncing it would leave later transfers in flight
+    sync(jax.tree_util.tree_leaves(out)[-1])
     return out

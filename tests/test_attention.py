@@ -114,3 +114,47 @@ def test_divisor_aligned_blocks(stable, rng):
     )
     ref = _np_ref(q, k, v, scale)
     np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+@pytest.mark.fast
+def test_aligned_block_joint_tile_cap():
+    """The divisor-aligned pair must respect the scoped-vmem joint-tile cap:
+    S=2000 would naively pick 2000x2000 (16 MB fp32 logits alone) — the
+    selection must shrink block_q to a smaller divisor instead, and the int8
+    kernel's selection must respect its tighter documented cap."""
+    from alg_tpu.ops.flash_attention import _aligned_block
+    from alg_tpu.ops.flash_attention_int8 import _aligned_or_pad
+
+    # mirror of flash_attention's selection loop (non-stable path)
+    def select(s, stable):
+        aq = _aligned_block(s, hi=1024 if stable else 2048)
+        ak = _aligned_block(s, hi=2048)
+        cap = (1024 * 2048) if stable else (1616 * 1616)
+        while aq and ak and aq * ak > cap:
+            aq = _aligned_block(s, lo=256, hi=aq - 8)
+        return aq, ak
+
+    aq, ak = select(2000, stable=False)
+    assert (aq, ak) == (1000, 2000)  # 2 MB-elem pair, not 2000x2000
+    aq, ak = select(2000, stable=True)
+    assert aq * ak <= 1024 * 2048
+    # production shape keeps its measured-good blocks
+    assert select(17776, stable=False) == (1616, 1616)
+    assert select(17776, stable=True) == (808, 1616)
+
+    # int8 kernel: documented cap bq*bk <= 808*1616
+    bq, bk, sp = _aligned_or_pad(2000, 512, 1024)
+    assert bq * bk <= 808 * 1616 and sp == 2000
+    bq, bk, sp = _aligned_or_pad(17776, 512, 1024)
+    assert (bq, bk, sp) == (808, 1616, 17776)
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_vmem_capped_aligned_blocks_numerics(stable, rng):
+    """S=2000 (the joint-tile-cap fallback path) still computes correctly."""
+    q, k, v = _qkv(rng, 1, 2, 2000, 2000, 64)
+    scale = 64**-0.5
+    out = np.asarray(
+        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, stable=stable)
+    )
+    np.testing.assert_allclose(out, _np_ref(q, k, v, scale), atol=2e-3)
