@@ -74,12 +74,17 @@ def _is_big_linear(leaf_parent: dict) -> bool:
 _BLOCK_KEYS = ("blocks", "transformer_blocks", "single_transformer_blocks")
 
 
-def _quantize_tree(node: Any, name: str = "") -> Any:
+def _quantize_tree(node: Any, name: str = "", modulation: bool = False) -> Any:
     if not isinstance(node, dict):
         return node
-    # keep AdaLN/modulation projections full-precision: their outputs gate
-    # every residual and their FLOPs are negligible
-    if "norm" in name or name == "ada":
+    # default: keep AdaLN/modulation projections full-precision — their
+    # outputs gate every residual and their FLOPs are negligible. With
+    # ``modulation=True`` they quantize too: their per-row dynamic activation
+    # quant error (~0.4 % RMS on the single conditioning token) is on par
+    # with bf16's own 8-bit mantissa, and HunyuanVideo's modulation stacks
+    # are 6.5 GB — the difference between fitting a 13B DiT on one v5e chip
+    # (16 GB HBM) or not (tools/bench_hunyuan_int8.py).
+    if not modulation and ("norm" in name or name == "ada"):
         return node
     if "kernel" in node and _is_big_linear(node):
         # stacked [L, in, out] kernels quantize per (L, out) channel
@@ -88,16 +93,18 @@ def _quantize_tree(node: Any, name: str = "") -> Any:
         if "bias" in node:
             out["bias"] = node["bias"]
         return out
-    return {k: _quantize_tree(v, k) for k, v in node.items()}
+    return {k: _quantize_tree(v, k, modulation) for k, v in node.items()}
 
 
-def quantize_transformer_params(params: dict) -> dict:
+def quantize_transformer_params(params: dict, modulation: bool = False) -> dict:
     """Quantize the big linears inside the DiT block stacks; everything
-    outside the blocks (embeddings, heads, modulation tables) is untouched."""
+    outside the blocks (embeddings, heads, modulation tables) is untouched.
+    ``modulation=True`` additionally quantizes the in-block AdaLN/modulation
+    projections (see ``_quantize_tree``)."""
     out = dict(params)
     for key in _BLOCK_KEYS:
         if key in out:
-            out[key] = _quantize_tree(out[key])
+            out[key] = _quantize_tree(out[key], modulation=modulation)
     return out
 
 
@@ -118,7 +125,7 @@ def quantize_pipeline(pipe):
     )
 
 
-def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02):
+def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02, modulation: bool = False):
     """Random-init a transformer tree HOST-side, quantize its block linears
     host-side, and stream only the quantized result to the device.
 
@@ -141,7 +148,7 @@ def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02):
             arr = arr.astype(leaf.dtype)
         host.append(arr)
     tree = jax.tree_util.tree_unflatten(treedef, host)
-    qtree = quantize_transformer_params(tree)  # kernels stream as they quantize
+    qtree = quantize_transformer_params(tree, modulation=modulation)  # kernels stream as they quantize
 
     pending = [0]
 

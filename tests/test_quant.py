@@ -164,3 +164,31 @@ def test_quantized_pipeline_shards_and_matches_unsharded(rng):
         finally:
             set_attention_impl(None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_quantize_modulation_opt_in(rng):
+    """``modulation=True`` additionally quantizes the in-block AdaLN
+    projections (the 6.5 GB stacks that decide whether Hunyuan-13B fits one
+    v5e chip — tools/bench_hunyuan_int8.py) with bounded extra drift."""
+    from alg_tpu.models.cogvideox import CogVideoXTransformerConfig, init_cogvideox_transformer
+    from alg_tpu.models.cogvideox import cogvideox_transformer, cogvideox_rope
+
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=8, out_channels=4,
+        time_embed_dim=128, text_embed_dim=128, num_layers=2,
+        sample_height=8, sample_width=8, max_text_seq_length=5,
+    )
+    params = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    qp = quantize_transformer_params(params, modulation=True)
+    assert "kernel_q" in qp["blocks"]["norm1"]["linear"]  # now quantized
+    assert "kernel_q" in qp["blocks"]["attn"]["to_q"]
+
+    x = jnp.asarray(rng.randn(1, 3, 8, 4, 4).astype(np.float32))
+    emb = jnp.asarray(rng.randn(1, 5, 128).astype(np.float32))
+    t = jnp.asarray([500.0], jnp.float32)
+    cos, sin = cogvideox_rope(cfg, 32, 32, 3)
+    fp = np.asarray(cogvideox_transformer(params, cfg, x, emb, t, cos, sin))
+    q = np.asarray(cogvideox_transformer(qp, cfg, x, emb, t, cos, sin))
+    rms = float(np.sqrt(np.mean(fp**2)))
+    assert np.isfinite(q).all()
+    assert np.abs(q - fp).mean() < 0.1 * rms, (np.abs(q - fp).mean(), rms)

@@ -1,0 +1,127 @@
+"""HunyuanVideo-I2V 13B shipped workload on ONE v5e chip (int8 W8A8 mode).
+
+The shipped Hunyuan workload (BASELINE.md: 129 frames @ 360p bucket, 50
+steps, distilled guidance 6.0, ALG down_up latent 0.625 interval [0, 0.04],
+`configs/hunyuan_video_alg.yaml`) cannot run on a single v5e chip in bf16:
+the 13B-class DiT alone is ~21 GB. The W8A8 tree (~10.5 GB int8) fits with
+the batch-1 single-pass activations (true_cfg 1.0 → no CFG batching), making
+this the first single-chip measurement of the full Hunyuan denoise loop.
+
+Geometry: 360p bucket for a 16:9 input = 352x608 (`alg/hunyuan_size.py`,
+matches reference `lp_utils.py:163-189` exactly) → latent [1, 16, 33, 44, 76],
+video tokens 33*22*38 = 27,588 + 544 text = 28,132 joint sequence at
+head_dim 128 (the 163 TFLOP/s kernel regime, docs/PERF.md).
+
+Measures the SHIPPED ``HunyuanVideoPipeline._sample`` (segmented chunked
+scan, token_replace assembly, ALG filter matmuts on the conditioning latent,
+flow-match Euler steps). Prints one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+STEPS = 50
+
+
+def main():
+    from alg_tpu.alg.schedule import LPConfig, build_lp_plan
+    from alg_tpu.models.hunyuan import (
+        HunyuanVAEConfig,
+        HunyuanVideoTransformerConfig,
+        init_hunyuan_transformer,
+    )
+    from alg_tpu.ops.quant import host_init_quantized_params
+    from alg_tpu.pipelines import HunyuanVideoPipeline
+    from alg_tpu.schedulers import FlowMatchEulerConfig, make_flow_match_euler_plan
+
+    tcfg = HunyuanVideoTransformerConfig()  # 13B-class: 20 double + 40 single, 24x128
+    print("streaming int8 weights (13B-class tree)...", flush=True)
+    # modulation=True: Hunyuan's AdaLN projection stacks are 6.5 GB bf16 —
+    # quantizing them (FLOPs negligible, error on par with bf16 rounding) is
+    # what makes the 13B tree (~12 GB int8) + activations fit 16 GB HBM
+    params = host_init_quantized_params(
+        lambda: init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16),
+        modulation=True,
+    )
+    pipe = HunyuanVideoPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=params,
+        vae_cfg=HunyuanVAEConfig(),
+        vae_params=None,  # latent-mode ALG: sampler never touches the VAE
+        scheduler_cfg=FlowMatchEulerConfig(shift=7.0, invert_sigmas=False),
+        dtype=jnp.bfloat16,
+    )
+
+    # 360p bucket for 16:9 (352x608), 129 frames → latent [1,16,33,44,76]
+    f_lat, h_lat, w_lat = 33, 44, 76
+    text_seq = 544  # 288 interleaved image embeds + 256 llama text
+    rng = np.random.RandomState(0)
+    latents0 = jnp.asarray(rng.randn(1, 16, f_lat, h_lat, w_lat), jnp.float32)
+    image_latents = jnp.asarray(rng.randn(1, 16, 1, h_lat, w_lat), jnp.float32)
+    embeds = jnp.asarray(rng.randn(1, text_seq, 4096), jnp.bfloat16)
+    pooled = jnp.asarray(rng.randn(1, 768), jnp.bfloat16)
+    mask = jnp.ones((1, text_seq), jnp.int32)
+
+    sig = np.linspace(1.0, 0.0, STEPS + 1)[:-1]
+    sched_plan = make_flow_match_euler_plan(pipe.scheduler_cfg, sigmas=sig)
+    lp_plan = build_lp_plan(
+        LPConfig(
+            use_low_pass_guidance=True,
+            lp_filter_type="down_up",
+            lp_filter_in_latent=True,
+            lp_resize_factor=0.625,
+            lp_strength_schedule_type="interval",
+            schedule_interval_start_time=0.0,
+            schedule_interval_end_time=0.04,
+        ),
+        STEPS, h_lat, w_lat, exp_shortcut=False,
+    )
+    guidance = jnp.full((1,), 6.0 * 1000.0, jnp.float32)
+
+    def sample():
+        return pipe._sample(
+            latents0, image_latents, embeds, pooled, mask,
+            None, None, None,  # no negative embeds (true_cfg 1.0)
+            sched_plan, lp_plan,
+            1.0,    # true_cfg_scale
+            False,  # do_true_cfg → shipped single-pass branch
+            guidance,
+            False,  # lp_on_noisy_latent
+            None,   # pixel_image (latent mode)
+        )
+
+    def sync(x):
+        return np.asarray(x[0, 0, 0, :1, :1])
+
+    z = jnp.zeros((1,))
+    np.asarray(z.ravel()[:1])
+    t0 = time.perf_counter()
+    np.asarray(z.ravel()[:1])
+    t_fetch = time.perf_counter() - t0
+
+    print("compiling + first run...", flush=True)
+    out = sample()
+    sync(out)
+    t0 = time.perf_counter()
+    out = sample()
+    sync(out)
+    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
+
+    print(json.dumps({
+        "metric": "hunyuan13b_denoise_steps_per_sec_per_chip_int8",
+        "value": round(STEPS / dt, 4),
+        "unit": "steps/s (129f@352x608 360p bucket, 50-step shipped ALG config, "
+                "int8 W8A8, distilled guidance single-pass, shipped sampler)",
+        "sec_per_step": round(dt / STEPS, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
