@@ -30,7 +30,7 @@ def init_linear(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
-    if "kernel_q" in p:  # opt-in W8A8 serving mode (alg_tpu.ops.quant)
+    if "kernel_q" in p or "kernel_q4" in p:  # opt-in W8A8/W4A8 serving modes (alg_tpu.ops.quant)
         from alg_tpu.ops.quant import quantized_linear
 
         return quantized_linear(p, x)

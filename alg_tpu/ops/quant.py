@@ -46,14 +46,16 @@ def quantize_kernel(kernel: jnp.ndarray):
 def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
     """W8A8 linear: dynamic per-row activation absmax quant, int8 MXU matmul
     with int32 accumulation, dequant epilogue. ``p``: {"kernel_q", "w_scale"
-    [, "bias"]}."""
+    [, "bias"]} — or the W4A8 form {"kernel_q4", "w_scale4", "w_scale"
+    [, "bias"]}, whose int4 weights requantize to int8 on the fly."""
+    kernel_q = w4_to_int8(p) if "kernel_q4" in p else p["kernel_q"]
     xf = x.astype(jnp.float32)
     xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     xs = jnp.maximum(xs, 1e-12)
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        xq, p["kernel_q"],
-        (((x.ndim - 1,), (p["kernel_q"].ndim - 2,)), ((), ())),
+        xq, kernel_q,
+        (((x.ndim - 1,), (kernel_q.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     w_scale = p["w_scale"].reshape((p["w_scale"].shape[-1],))
@@ -61,6 +63,61 @@ def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def quantize_kernel_w4(kernel, group: int = 128):
+    """Group-wise symmetric int4: kernel [..., in, out] →
+    (packed int8 [..., in/2, out] with two nibbles along IN,
+     group scales f32 [..., in/group, out],
+     int8 requant scale f32 [..., 1, out]).
+
+    Storage is 4-bit (the point: Wan-14B's 16B-param block kernels drop from
+    30.5 GB bf16 to ~8 GB); compute stays on the int8 MXU — at use time the
+    nibbles dequantize group-wise and requantize to per-output-channel int8
+    (`w4_to_int8`), whose extra error is ≤ half an int8 ulp on top of the
+    int4 grid. ``group`` must divide the IN dim (128 = one MXU lane group)."""
+    w = np.asarray(kernel, np.float32)
+    kin = w.shape[-2]
+    if kin % group or kin % 2:
+        raise ValueError(f"in dim {kin} not divisible by group {group} (and 2)")
+    lead = w.shape[:-2]
+    g_cnt = kin // group
+    wg = w.reshape(lead + (g_cnt, group, w.shape[-1]))
+    absmax = np.abs(wg).max(axis=-2, keepdims=True)  # [..., G, 1, out]
+    s4 = np.maximum(absmax, 1e-12) / 7.0
+    # symmetric [-7, 7] (the -8 code would dequantize past the s8 range and
+    # clip in the int8 requant — one lost code beats a distorted outlier)
+    q4 = np.clip(np.round(wg / s4), -7, 7).astype(np.int8)
+    q4 = q4.reshape(lead + (kin, w.shape[-1]))
+    packed = (q4[..., 0::2, :] & 0x0F) | (q4[..., 1::2, :] << 4)
+    s4 = s4.reshape(lead + (g_cnt, w.shape[-1]))
+    # int8 requant scale: the largest dequantized magnitude per out channel
+    s8 = np.maximum((7.0 * s4).max(axis=-2, keepdims=True), 1e-12) / 127.0
+    out = jnp.asarray(packed.astype(np.int8))
+    from alg_tpu.core.device import sync
+
+    sync(out)
+    return out, jnp.asarray(s4, jnp.float32), jnp.asarray(s8, jnp.float32)
+
+
+def w4_to_int8(p) -> jnp.ndarray:
+    """Unpack int4 nibbles and requantize group-wise to per-output-channel
+    int8 (traced; runs on device each use — ~2 bytes/param of HBM traffic,
+    negligible next to the matmul it feeds)."""
+    packed = p["kernel_q4"]  # [..., in/2, out] int8
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extended low nibble
+    hi = jnp.right_shift(packed, 4)  # arithmetic → sign-extended high nibble
+    q4 = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    kin = packed.shape[-2] * 2
+    q4 = q4.reshape(packed.shape[:-2] + (kin, packed.shape[-1]))
+    s4 = p["w_scale4"]  # [..., G, out]
+    g_cnt = s4.shape[-2]
+    group = kin // g_cnt
+    s8 = p["w_scale"]  # [..., 1, out]
+    mult = s4 / s8  # [..., G, out]
+    wf = q4.reshape(q4.shape[:-2] + (g_cnt, group, q4.shape[-1])).astype(jnp.float32)
+    w8 = jnp.clip(jnp.round(wf * mult[..., :, None, :]), -127, 127).astype(jnp.int8)
+    return w8.reshape(q4.shape)
 
 
 def _is_big_linear(leaf_parent: dict) -> bool:
@@ -74,7 +131,7 @@ def _is_big_linear(leaf_parent: dict) -> bool:
 _BLOCK_KEYS = ("blocks", "transformer_blocks", "single_transformer_blocks")
 
 
-def _quantize_tree(node: Any, name: str = "", modulation: bool = False) -> Any:
+def _quantize_tree(node: Any, name: str = "", modulation: bool = False, mode: str = "w8") -> Any:
     if not isinstance(node, dict):
         return node
     # default: keep AdaLN/modulation projections full-precision — their
@@ -87,24 +144,33 @@ def _quantize_tree(node: Any, name: str = "", modulation: bool = False) -> Any:
     if not modulation and ("norm" in name or name == "ada"):
         return node
     if "kernel" in node and _is_big_linear(node):
-        # stacked [L, in, out] kernels quantize per (L, out) channel
-        kq, scale = quantize_kernel(node["kernel"])
-        out = {"kernel_q": kq, "w_scale": scale}
+        k = node["kernel"]
+        if mode == "w4" and k.shape[-2] % 128 == 0:
+            kq4, s4, s8 = quantize_kernel_w4(k)
+            out = {"kernel_q4": kq4, "w_scale4": s4, "w_scale": s8}
+        else:
+            # stacked [L, in, out] kernels quantize per (L, out) channel
+            kq, scale = quantize_kernel(k)
+            out = {"kernel_q": kq, "w_scale": scale}
         if "bias" in node:
             out["bias"] = node["bias"]
         return out
-    return {k: _quantize_tree(v, k, modulation) for k, v in node.items()}
+    return {k: _quantize_tree(v, k, modulation, mode) for k, v in node.items()}
 
 
-def quantize_transformer_params(params: dict, modulation: bool = False) -> dict:
+def quantize_transformer_params(params: dict, modulation: bool = False, mode: str = "w8") -> dict:
     """Quantize the big linears inside the DiT block stacks; everything
     outside the blocks (embeddings, heads, modulation tables) is untouched.
     ``modulation=True`` additionally quantizes the in-block AdaLN/modulation
-    projections (see ``_quantize_tree``)."""
+    projections (see ``_quantize_tree``). ``mode="w4"`` stores int4 weights
+    (group-128 scales, requantized to int8 at use — the Wan-14B single-chip
+    mode); in-dims not divisible by 128 fall back to int8."""
+    if mode not in ("w8", "w4"):
+        raise ValueError(f"unknown quantization mode {mode!r}")
     out = dict(params)
     for key in _BLOCK_KEYS:
         if key in out:
-            out[key] = _quantize_tree(out[key], modulation=modulation)
+            out[key] = _quantize_tree(out[key], modulation=modulation, mode=mode)
     return out
 
 
@@ -125,7 +191,7 @@ def quantize_pipeline(pipe):
     )
 
 
-def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02, modulation: bool = False):
+def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02, modulation: bool = False, mode: str = "w8"):
     """Random-init a transformer tree HOST-side, quantize its block linears
     host-side, and stream only the quantized result to the device.
 
@@ -148,7 +214,7 @@ def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02, modu
             arr = arr.astype(leaf.dtype)
         host.append(arr)
     tree = jax.tree_util.tree_unflatten(treedef, host)
-    qtree = quantize_transformer_params(tree, modulation=modulation)  # kernels stream as they quantize
+    qtree = quantize_transformer_params(tree, modulation=modulation, mode=mode)  # kernels stream as they quantize
 
     pending = [0]
 

@@ -36,8 +36,13 @@ def cogvideox_transformer_specs(params) -> dict:
 
 def _col(p) -> dict:
     """Column-parallel linear: output features sharded. Handles the W8A8
-    form ({kernel_q [L,in,out] int8, w_scale [L,1,out]}, alg_tpu.ops.quant)."""
-    if "kernel_q" in p:
+    form ({kernel_q [L,in,out] int8, w_scale [L,1,out]}) and the W4A8 form
+    ({kernel_q4 [L,in/2,out], w_scale4 [L,G,out], w_scale [L,1,out]},
+    alg_tpu.ops.quant) — all scale trees shard with their out axis."""
+    if "kernel_q4" in p:
+        out = {"kernel_q4": P(None, None, "tp"), "w_scale4": P(None, None, "tp"),
+               "w_scale": P(None, None, "tp")}
+    elif "kernel_q" in p:
         out = {"kernel_q": P(None, None, "tp"), "w_scale": P(None, None, "tp")}
     else:
         out = {"kernel": P(None, None, "tp")}
@@ -49,8 +54,12 @@ def _col(p) -> dict:
 def _row(p) -> dict:
     """Row-parallel linear: input features sharded (XLA adds the all-reduce
     around the int32/fp32 accumulator; the dequant scales are per-output and
-    replicate)."""
-    if "kernel_q" in p:
+    replicate). W4A8: the packed nibble axis and the group-scale axis both
+    follow the input dim."""
+    if "kernel_q4" in p:
+        out = {"kernel_q4": P(None, "tp", None), "w_scale4": P(None, "tp", None),
+               "w_scale": P()}
+    elif "kernel_q" in p:
         out = {"kernel_q": P(None, "tp", None), "w_scale": P()}
     else:
         out = {"kernel": P(None, "tp", None)}
@@ -133,9 +142,26 @@ def hunyuan_transformer_specs(params) -> dict:
 
 
 def shard_params(params, specs, mesh):
-    """Place a param tree on the mesh according to its spec tree."""
+    """Place a param tree on the mesh according to its spec tree.
+
+    W4A8 row-parallel guard: a ``kernel_q4`` sharded on its packed-IN axis
+    must keep whole 128-element quantization groups per shard (the group
+    scales in ``w_scale4`` shard with it) — i.e. ``in % (128·tp) == 0``.
+    Misaligned cases should quantize with ``mode="w8"`` instead."""
     from jax.sharding import NamedSharding
 
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    tp = mesh.shape.get("tp", 1)
+
+    def _check(path, x, s):
+        name = str(getattr(path[-1], "key", ""))
+        if name == "kernel_q4" and tp > 1 and len(s) >= 2 and s[-2] == "tp":
+            kin = x.shape[-2] * 2
+            if kin % (128 * tp):
+                raise ValueError(
+                    f"W4A8 row-parallel linear with in dim {kin} cannot shard "
+                    f"over tp={tp}: quantization groups (128) would straddle "
+                    f"shards. Use mode='w8' for this model/tp combination."
+                )
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map_with_path(_check, params, specs)

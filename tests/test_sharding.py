@@ -622,3 +622,77 @@ def test_sp_sharded_batched_serving():
             set_attention_impl(None)
         assert out.shape == (2, 2, 4, 4, 4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_tp_sharded_w4_dit_matches_unsharded_w4():
+    """W4A8 trees shard: col-parallel splits packed kernels + both scale
+    trees on out; row-parallel splits the packed-IN axis along whole
+    128-element quantization groups (dim 512 → to_out G=4 over tp=4). The
+    sharded forward must equal the unsharded W4A8 forward exactly."""
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        cogvideox_rope,
+        cogvideox_transformer,
+        init_cogvideox_transformer,
+    )
+    from alg_tpu.ops.attention import set_attention_impl
+    from alg_tpu.ops.quant import quantize_transformer_params
+    from alg_tpu.sharding import cogvideox_transformer_specs, make_mesh, shard_params
+
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4,
+        attention_head_dim=128,  # dim 512: row-parallel in-dims 512/2048 → 128-groups align at tp=4
+        in_channels=8,
+        out_channels=4,
+        time_embed_dim=16,
+        text_embed_dim=12,
+        num_layers=2,
+        sample_height=8,
+        sample_width=8,
+        max_text_seq_length=5,
+    )
+    cpus = _cpu_devices(8)
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(cpus[0]):
+        params = init_cogvideox_transformer(key, cfg)
+        qp = quantize_transformer_params(params, mode="w4")
+        assert "kernel_q4" in qp["blocks"]["attn"]["to_q"]
+        cos, sin = cogvideox_rope(cfg, 32, 32, 2)
+        x = jax.random.normal(key, (2, 2, 8, 4, 4))
+        txt = jax.random.normal(key, (2, 5, 12))
+        ts = jnp.array([700.0, 700.0])
+
+        set_attention_impl("xla")
+        try:
+            ref = cogvideox_transformer(qp, cfg, x, txt, ts, cos, sin)
+            mesh = make_mesh(dp=2, tp=4, devices=cpus)
+            specs = cogvideox_transformer_specs(qp)
+            qp_sh = shard_params(qp, specs, mesh)
+            data = NamedSharding(mesh, P("dp"))
+            fn = jax.jit(lambda p, x, t, ts: cogvideox_transformer(p, cfg, x, t, ts, cos, sin))
+            with mesh:
+                out = fn(qp_sh, jax.device_put(x, data), jax.device_put(txt, data), ts)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        finally:
+            set_attention_impl(None)
+
+
+def test_w4_row_parallel_misalignment_raises():
+    """in % (128·tp) != 0 on a row-parallel W4 kernel must fail loudly."""
+    from alg_tpu.models.cogvideox import CogVideoXTransformerConfig, init_cogvideox_transformer
+    from alg_tpu.ops.quant import quantize_transformer_params
+    from alg_tpu.sharding import cogvideox_transformer_specs, make_mesh, shard_params
+
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32,  # dim 128: to_out in=128 < 128·4
+        in_channels=8, out_channels=4, time_embed_dim=16, text_embed_dim=12,
+        num_layers=2, sample_height=8, sample_width=8, max_text_seq_length=5,
+    )
+    cpus = _cpu_devices(8)
+    with jax.default_device(cpus[0]):
+        qp = quantize_transformer_params(
+            init_cogvideox_transformer(jax.random.PRNGKey(0), cfg), mode="w4"
+        )
+        mesh = make_mesh(dp=2, tp=4, devices=cpus)
+        with pytest.raises(ValueError, match="W4A8 row-parallel"):
+            shard_params(qp, cogvideox_transformer_specs(qp), mesh)

@@ -14,7 +14,10 @@ This measures whether the aligned+masked call at S=17920 beats the shipped
 misaligned call at S=17776 by more than the ~0.8 % token overhead.
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax

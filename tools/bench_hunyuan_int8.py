@@ -18,7 +18,10 @@ flow-match Euler steps). Prints one JSON line.
 """
 
 import json
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax

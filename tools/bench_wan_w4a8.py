@@ -1,0 +1,117 @@
+"""Wan2.1-I2V-14B shipped workload on ONE v5e chip (W4A8 mode).
+
+The shipped Wan workload (BASELINE.md: 81 frames @ 480x832, 50 steps, CFG
+5.0, UniPC flow_shift 5.0, ALG down_up latent 0.4 interval [0, 0.20] → 10 of
+50 steps are 3-pass) cannot run on a single v5e chip in bf16 (30.5 GB DiT)
+or even W8A8 (~15.5 GB + batch-2/3 activations > 16 GB HBM). The W4A8 tree
+(~9 GB: int4 group-128 weights requantized to int8 at use, int8 MXU compute
+— ops/quant.py) leaves room for the CFG batch-2 (and segmented batch-3)
+activations, making this the first single-chip measurement of the full Wan
+denoise loop.
+
+Geometry: latent [1, 16, 21, 60, 104] + 20-ch mask+latent condition, video
+sequence 21*30*52 = 32,760 tokens at head_dim 128 (the 163 TFLOP/s kernel
+regime), UMT5 text 512 x 4096, CLIP image embeds 257 x 1280.
+
+Measures the SHIPPED ``WanPipeline._sample``. Prints one JSON line.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+STEPS = 50
+
+
+def main():
+    from alg_tpu.alg.schedule import LPConfig, build_lp_plan
+    from alg_tpu.models.wan import WanTransformerConfig, WanVAEConfig, init_wan_transformer
+    from alg_tpu.ops.quant import host_init_quantized_params
+    from alg_tpu.pipelines import WanPipeline
+    from alg_tpu.schedulers import UniPCConfig, make_unipc_plan
+
+    tcfg = WanTransformerConfig()  # 14B: 40 layers, 40x128, ffn 13824
+    print("quantizing + streaming W4A8 weights (14B tree -> ~9 GB)...", flush=True)
+    params = host_init_quantized_params(
+        lambda: init_wan_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16),
+        mode="w4",
+    )
+    pipe = WanPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=params,
+        vae_cfg=WanVAEConfig(),
+        vae_params=None,  # latent-mode ALG: the sampler never touches the VAE
+        scheduler_cfg=UniPCConfig(flow_shift=5.0),
+        dtype=jnp.bfloat16,
+    )
+
+    f_lat, h_lat, w_lat = 21, 60, 104  # 81f @ 480x832
+    rng = np.random.RandomState(0)
+    latents0 = jnp.asarray(rng.randn(1, 16, f_lat, h_lat, w_lat), jnp.float32)
+    condition = jnp.asarray(rng.randn(1, 20, f_lat, h_lat, w_lat), jnp.float32)
+    embeds_pos = jnp.asarray(rng.randn(1, 512, 4096), jnp.bfloat16)
+    embeds_neg = jnp.asarray(rng.randn(1, 512, 4096), jnp.bfloat16)
+    image_embeds = jnp.asarray(rng.randn(1, 257, 1280), jnp.bfloat16)
+
+    sched_plan = make_unipc_plan(pipe.scheduler_cfg, STEPS)
+    lp_plan = build_lp_plan(
+        LPConfig(
+            use_low_pass_guidance=True,
+            lp_filter_type="down_up",
+            lp_filter_in_latent=True,
+            lp_resize_factor=0.4,
+            lp_strength_schedule_type="interval",
+            schedule_interval_start_time=0.0,
+            schedule_interval_end_time=0.20,  # 10 of 50 steps 3-pass
+        ),
+        STEPS, h_lat, w_lat, exp_shortcut=False,
+    )
+
+    def sample():
+        return pipe._sample(
+            latents0, condition, embeds_pos, embeds_neg, image_embeds,
+            sched_plan, lp_plan,
+            5.0,   # guidance_scale
+            True,  # do_cfg
+            81,    # num_frames (pixel mode only)
+            None,  # pixel_image
+            None,  # pixel_vae_noise
+        )
+
+    def sync(x):
+        return np.asarray(x[0, 0, 0, :1, :1])
+
+    z = jnp.zeros((1,))
+    np.asarray(z.ravel()[:1])
+    t0 = time.perf_counter()
+    np.asarray(z.ravel()[:1])
+    t_fetch = time.perf_counter() - t0
+
+    print("compiling + first run...", flush=True)
+    out = sample()
+    sync(out)
+    t0 = time.perf_counter()
+    out = sample()
+    sync(out)
+    dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
+
+    print(json.dumps({
+        "metric": "wan14b_denoise_steps_per_sec_per_chip_w4a8",
+        "value": round(STEPS / dt, 4),
+        "unit": "steps/s (81f@480x832, 50-step shipped ALG CFG config, W4A8 "
+                "int4-weight/int8-MXU, shipped sampler)",
+        "sec_per_step": round(dt / STEPS, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
