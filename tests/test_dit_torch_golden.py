@@ -532,3 +532,71 @@ def test_cogvideox_depth8_fp32_golden(rng):
     err = np.abs(out_jax - out_t).max()
     scale = np.abs(out_t).max()
     assert err < 5e-4, f"depth-8 fp32 drift {err:.2e} (output scale {scale:.2e})"
+
+
+def test_wan_depth8_fp32_golden(rng):
+    """8-layer Wan DiT at the real head_dim (128, the 163-TFLOP/s kernel
+    regime): fp32 JAX vs float64 torch — depth-dependent accumulation bound
+    for the dual-cross-attention block stack."""
+    cfg = WanTransformerConfig(
+        num_attention_heads=2, attention_head_dim=128, in_channels=9, out_channels=4,
+        num_layers=8, ffn_dim=256, freq_dim=16, text_dim=8, image_dim=10,
+        patch_size=(1, 2, 2),
+    )
+    params = _randomize(init_wan_transformer(jax.random.PRNGKey(3), cfg), seed=29, scale=0.1)
+    f, hh, ww = 2, 4, 6
+    cos, sin = wan_rope(cfg, f, hh, ww)
+    x = rng.randn(2, 9, f, hh, ww).astype(np.float32)
+    text = rng.randn(2, 7, 8).astype(np.float32)
+    img = rng.randn(2, 5, 10).astype(np.float32)
+    ts = np.array([0.9, 4.3], np.float32)
+
+    out_jax = np.asarray(
+        wan_transformer(params, cfg, jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text),
+                        jnp.asarray(img), cos, sin)
+    )
+    out_t = np.asarray(
+        _torch_wan(params, cfg, _t(x), torch.tensor(ts), _t(text), _t(img), cos, sin)
+    )
+    err = np.abs(out_jax - out_t).max()
+    scale = np.abs(out_t).max()
+    assert err < 5e-4, f"Wan depth-8 fp32 drift {err:.2e} (output scale {scale:.2e})"
+
+
+def test_hunyuan_depth8_fp32_golden(rng):
+    """4 double + 4 single Hunyuan blocks at the real head_dim (128, real
+    rope split 16/56/56): fp32 JAX vs float64 torch accumulation bound."""
+    from alg_tpu.models.hunyuan import (
+        HunyuanVideoTransformerConfig,
+        hunyuan_rope,
+        hunyuan_transformer,
+        init_hunyuan_transformer,
+    )
+
+    cfg = HunyuanVideoTransformerConfig(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=128,
+        num_layers=4, num_single_layers=4, num_refiner_layers=1, mlp_ratio=2.0,
+        text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(16, 56, 56),
+    )
+    params = _randomize(init_hunyuan_transformer(jax.random.PRNGKey(4), cfg), seed=31, scale=0.1)
+    f, hh, ww = 3, 4, 4
+    cos, sin = hunyuan_rope(cfg, f, hh, ww)
+    x = rng.randn(2, 4, f, hh, ww).astype(np.float32)
+    text = rng.randn(2, 7, 12).astype(np.float32)
+    mask = np.ones((2, 7), np.int32)
+    mask[1, 5:] = 0
+    pooled = rng.randn(2, 6).astype(np.float32)
+    ts = np.array([0.9, 4.3], np.float32)
+    guidance = np.array([3.7, 1.2], np.float32)
+
+    out_jax = np.asarray(
+        hunyuan_transformer(params, cfg, jnp.asarray(x), jnp.asarray(ts), jnp.asarray(text),
+                            jnp.asarray(mask), jnp.asarray(pooled), jnp.asarray(guidance), cos, sin)
+    )
+    out_t = np.asarray(
+        _torch_hunyuan(params, cfg, _t(x), torch.tensor(ts), _t(text), torch.tensor(mask),
+                       _t(pooled), torch.tensor(guidance), cos, sin)
+    )
+    err = np.abs(out_jax - out_t).max()
+    scale = np.abs(out_t).max()
+    assert err < 5e-4, f"Hunyuan depth-8 fp32 drift {err:.2e} (output scale {scale:.2e})"
