@@ -174,8 +174,9 @@ def quantize_transformer_params(params: dict, modulation: bool = False, mode: st
     return out
 
 
-def quantize_pipeline(pipe):
-    """Return a copy of a pipeline with its transformer blocks W8A8-quantized.
+def quantize_pipeline(pipe, mode: str = "w8"):
+    """Return a copy of a pipeline with its transformer blocks quantized
+    (``mode="w8"`` W8A8, ``mode="w4"`` W4A8 int4 storage).
 
     HBM caution (single chip): quantization walks the existing device tree
     (each kernel round-trips via host), and the CALLER's references keep the
@@ -187,7 +188,7 @@ def quantize_pipeline(pipe):
     import dataclasses
 
     return dataclasses.replace(
-        pipe, transformer_params=quantize_transformer_params(pipe.transformer_params)
+        pipe, transformer_params=quantize_transformer_params(pipe.transformer_params, mode=mode)
     )
 
 

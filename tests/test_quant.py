@@ -261,3 +261,38 @@ def test_w4_quantized_linear_and_tree(rng):
     rms = float(np.sqrt(np.mean(fp**2)))
     assert np.isfinite(q).all()
     assert np.abs(q - fp).mean() < 0.15 * rms, (np.abs(q - fp).mean(), rms)
+
+
+def test_host_init_and_pipeline_mode_w4():
+    """The load-time W4A8 path the 14B single-chip bench uses: host-side
+    random init + host-side int4 quantization + streaming, and the
+    quantize_pipeline(mode=) passthrough."""
+    import dataclasses
+
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        init_cogvideox_transformer,
+    )
+    from alg_tpu.ops.quant import host_init_quantized_params
+
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=8, out_channels=4,
+        time_embed_dim=128, text_embed_dim=128, num_layers=2,
+        sample_height=8, sample_width=8, max_text_seq_length=5,
+    )
+    params = host_init_quantized_params(
+        lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), cfg), mode="w4"
+    )
+    blk = params["blocks"]["attn"]["to_q"]
+    assert blk["kernel_q4"].dtype == jnp.int8  # packed nibbles
+    assert blk["kernel_q4"].shape[-2] * 2 == 128
+    assert blk["w_scale4"].shape[-2] == 1  # 128-dim in → one group
+    assert "kernel" in params["blocks"]["norm1"]["linear"]  # modulation stays fp
+
+    pipe = dataclasses.make_dataclass("P", ["transformer_params"])(
+        transformer_params=init_cogvideox_transformer(jax.random.PRNGKey(1), cfg)
+    )
+    qpipe = quantize_pipeline(pipe, mode="w4")
+    assert "kernel_q4" in qpipe.transformer_params["blocks"]["attn"]["to_q"]
+    qpipe8 = quantize_pipeline(pipe)
+    assert "kernel_q" in qpipe8.transformer_params["blocks"]["attn"]["to_q"]
