@@ -42,6 +42,9 @@ INT8 = "--int8" in sys.argv
 # opt-in int8-QK^T attention (ops/flash_attention_int8.py); composes with
 # --int8 for the full int8 serving mode
 INT8_ATTN = "--int8-attn" in sys.argv
+# opt-in W4A8: int4 weight storage (group-128 scales), int8 MXU compute —
+# the memory-bound serving mode (ops/quant.py quantize_kernel_w4)
+W4 = "--w4" in sys.argv
 
 
 def main():
@@ -59,12 +62,12 @@ def main():
     tcfg = CogVideoXTransformerConfig()  # 5b: 42 layers, 48 heads x 64, dim 3072
     vcfg = CogVideoXVAEConfig()
     init_fn = lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16)
-    if INT8:
+    if INT8 or W4:
         # quantize host-side at init: bf16 + int8 trees together exceed
         # v5e-1 HBM (see ops/quant.host_init_quantized_params)
         from alg_tpu.ops.quant import host_init_quantized_params
 
-        params = host_init_quantized_params(init_fn)
+        params = host_init_quantized_params(init_fn, mode="w4" if W4 else "w8")
     else:
         params = host_init_params(init_fn)
     pipe = CogVideoXPipeline(
@@ -137,6 +140,9 @@ def main():
               (True, True): "_int8full"}[(INT8, INT8_ATTN)]
     mode = {"": "bf16", "_int8": "int8 W8A8", "_int8attn": "bf16 + int8 QK^T attn",
             "_int8full": "int8 W8A8 + int8 QK^T attn"}[suffix]
+    if W4:
+        suffix = "_w4a8" + ("_int8attn" if INT8_ATTN else "")
+        mode = "W4A8 int4-weight/int8-MXU" + (" + int8 QK^T attn" if INT8_ATTN else "")
     metric = "cogvideox5b_denoise_steps_per_sec_per_chip" + suffix
     print(
         json.dumps(
