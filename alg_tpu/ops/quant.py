@@ -29,11 +29,22 @@ import jax.numpy as jnp
 
 def quantize_kernel(kernel: jnp.ndarray):
     """Per-output-channel symmetric int8: kernel [..., in, out] →
-    (int8 kernel, f32 scale [..., 1, out])."""
-    w = np.asarray(kernel, np.float32)
-    absmax = np.max(np.abs(w), axis=-2, keepdims=True)  # over the IN axis
-    scale = np.maximum(absmax, 1e-12) / 127.0
-    wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    (int8 kernel, f32 scale [..., 1, out]).
+
+    The host-side math runs through the native C++ single-pass kernel
+    (:mod:`alg_tpu.native`, bitwise-identical, ~50× numpy) when available;
+    the numpy form below is the reference fallback."""
+    from alg_tpu import native
+
+    w = np.asarray(kernel)  # device fetch; keeps bf16 for the fused native path
+    nat = native.quant_w8(w) if (w.ndim >= 2 and w.dtype.kind != "i") else None
+    if nat is not None:
+        wq, scale = nat
+    else:
+        w = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(w), axis=-2, keepdims=True)  # over the IN axis
+        scale = np.maximum(absmax, 1e-12) / 127.0
+        wq = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     out = jnp.asarray(wq)
     # stacked block kernels are ~0.4 GB int8 each — drain the transfer queue
     # per leaf so host-side tunnel buffers stay bounded (axon discipline)
@@ -75,11 +86,25 @@ def quantize_kernel_w4(kernel, group: int = 128):
     30.5 GB bf16 to ~8 GB); compute stays on the int8 MXU — at use time the
     nibbles dequantize group-wise and requantize to per-output-channel int8
     (`w4_to_int8`), whose extra error is ≤ half an int8 ulp on top of the
-    int4 grid. ``group`` must divide the IN dim (128 = one MXU lane group)."""
-    w = np.asarray(kernel, np.float32)
+    int4 grid. ``group`` must divide the IN dim (128 = one MXU lane group).
+
+    Host math goes through the native C++ fused quantize+pack
+    (:mod:`alg_tpu.native`, bitwise-identical) when available."""
+    from alg_tpu import native
+
+    w = np.asarray(kernel)
     kin = w.shape[-2]
     if kin % group or kin % 2:
         raise ValueError(f"in dim {kin} not divisible by group {group} (and 2)")
+    nat = native.quant_w4(w, group) if (w.ndim >= 2 and w.dtype.kind != "i") else None
+    if nat is not None:
+        packed, s4, s8 = nat
+        out = jnp.asarray(packed)
+        from alg_tpu.core.device import sync
+
+        sync(out)
+        return out, jnp.asarray(s4, jnp.float32), jnp.asarray(s8, jnp.float32)
+    w = np.asarray(w, np.float32)
     lead = w.shape[:-2]
     g_cnt = kin // group
     wg = w.reshape(lead + (g_cnt, group, w.shape[-1]))
