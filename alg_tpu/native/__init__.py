@@ -54,6 +54,20 @@ def _build_key() -> str:
     except Exception:
         ver = "unknown"
     h.update(ver.encode())
+    # -march=native binaries are host-specific: key on the CPU's ISA flags so
+    # a cache dir shared across machines (or a stray committed .so) can never
+    # be loaded on a CPU it wasn't built for (SIGILL is uncatchable)
+    import platform
+
+    h.update(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
     return h.hexdigest()[:16]
 
 
@@ -110,6 +124,20 @@ def _load() -> "ctypes.CDLL | None":
                lib.alg_quant_w4_f32, lib.alg_quant_w4_bf16):
         fn.restype = None
     _lib = lib
+    # post-load self-check: a tiny quant must match the numpy math bitwise,
+    # else fall back (guards against a subtly miscompiled binary)
+    try:
+        w = (np.arange(24, dtype=np.float32).reshape(6, 4) - 11.5) * 0.37
+        wq, sc = quant_w8(w)
+        absmax = np.max(np.abs(w), axis=-2, keepdims=True)
+        scale = np.maximum(absmax, 1e-12) / 127.0
+        ref = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        if not (np.array_equal(wq, ref) and np.array_equal(sc, scale)):
+            raise RuntimeError("self-check mismatch")
+    except Exception as e:
+        log.warning("alg_tpu native ops failed self-check (%s); numpy fallback", e)
+        _lib = None
+        _lib_failed = True
     return _lib
 
 

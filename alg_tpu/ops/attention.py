@@ -69,9 +69,11 @@ def set_attention_int8(enabled: bool) -> None:
     Opt-in: int8 logits change numerics (~1e-2 relative drift on outputs,
     bounded by tests/test_attention_int8.py) and must be validated per
     checkpoint, like the W8A8 linear mode it composes with. Only dense,
-    unbiased, non-causal self-attention with head_dim % 128 != 0 on a
-    single-device TPU path qualifies; everything else (text encoders,
-    kv_len/bias/causal calls, mesh-sharded calls) keeps the bf16 kernel."""
+    unbiased, non-causal self-attention with head_dim % 128 != 0 that also
+    requested the bounded-logit fast path (``stable=False`` — the DiT block
+    calls) qualifies on a single-device TPU path; everything else (text/vision
+    encoders, which pass ``stable=True``, and kv_len/bias/causal/mesh-sharded
+    calls) keeps the bf16 kernel."""
     global _INT8_QK
     _INT8_QK = bool(enabled)
 
@@ -302,6 +304,9 @@ def attention(
     if (
         _INT8_QK
         and impl == "pallas"
+        and not stable  # DiT blocks request the bounded-logit fast path;
+        # text/vision encoders keep stable=True and thus the bf16 kernel —
+        # int8 QK^T must never silently touch conditioning embeddings
         and not causal
         and kv_len is None
         and bias is None

@@ -295,8 +295,8 @@ def flash_attention(
     causal: bool = False,
     kv_len: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
-    block_q: int = 1024,
-    block_k: int = 2048,
+    block_q: Optional[int] = None,  # None → auto (1024, seq-aligned if profitable)
+    block_k: Optional[int] = None,  # None → auto (2048, seq-aligned if profitable)
     stable: bool = True,
     qk_norm: Optional[str] = None,  # None | "layer" | "rms"
     norm_eps: float = 1e-6,
@@ -315,23 +315,34 @@ def flash_attention(
     shared by q and k — self-attention positions)."""
     b, h, sq_orig, d = q.shape
     sk_orig = k.shape[2]
+    # Explicit caller block sizes are honored verbatim; auto-selection below
+    # applies only when BOTH are left at None (tools A/B-sweep explicit pairs).
+    auto_blocks = block_q is None and block_k is None
+    if block_q is None:
+        block_q = 1024
+    if block_k is None:
+        block_k = 2048
     # Prefer block sizes that DIVIDE the sequence exactly: the pad of q/k/v to
     # block multiples plus the output slice are full extra HBM passes worth
     # ~7 ms/call at the CogVideoX shape (measured v5e: 94.8 ms default
     # 1024/2048 vs 87.4 ms aligned 1616/1616 — tools/bench_qk_prep.py).
     # Self-attention only, both blocks from the same divisor — mixed
     # aligned-Q/padded-K combinations miscompile (Mosaic crash, recorded).
-    if sq_orig == sk_orig and sq_orig % block_q != 0:
+    if auto_blocks and sq_orig == sk_orig and sq_orig % block_q != 0:
         # stable path carries extra per-query scratch (running max/denom):
         # 1616-row q blocks exceed the 16M scoped-vmem limit by ~0.4M there,
         # so cap its aligned block_q at 1024 (→ 808 for S=17776)
         aligned_q = _aligned_block(sq_orig, hi=1024 if stable else 2048)
         aligned_k = _aligned_block(sq_orig, hi=2048)
-        # bound the JOINT tile too: the bq×bk fp32 logits buffer must stay
-        # inside scoped vmem. 1616×1616 is measured-good (fused path);
-        # 2000×2000 (16 MB logits alone) is not — shrink block_q to smaller
-        # divisors of S, keeping block_k large, before accepting the pair.
-        cap = (1024 * 2048) if stable else (1616 * 1616)
+        # bound the JOINT tile too: the bq×bk fp32 logits buffer plus the
+        # p tile cast to the input dtype must stay inside scoped vmem.
+        # bf16 anchors (measured v5e): stable 1024×2048 and non-stable
+        # 1616×1616 both fit; f32 inputs (parity runs) carry an f32 p tile —
+        # (4+4)/(4+2) the bytes per logit element — e.g. 1000×2000 f32
+        # overruns the 16M scope by 860K (measured), so scale the element
+        # cap by the per-element logit bytes relative to the bf16 anchor.
+        elem_p = max(jnp.dtype(q.dtype).itemsize, 2)
+        cap = ((1024 * 2048) if stable else (1616 * 1616)) * 6 // (4 + elem_p)
         while aligned_q and aligned_k and aligned_q * aligned_k > cap:
             aligned_q = _aligned_block(sq_orig, lo=256, hi=aligned_q - 8)
         if aligned_q and aligned_k:
