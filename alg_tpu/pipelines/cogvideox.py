@@ -196,6 +196,12 @@ class CogVideoXPipeline:
         output_type: str = "pil",
         attention_kwargs: Optional[dict] = None,
         step_observer: Optional[Callable] = None,
+        # preemption-safe resume (beyond-parity; see io/runstate.py): a path
+        # (or RunCheckpoint) where the sampler carry is snapshotted every
+        # ``checkpoint_every`` steps; an existing snapshot with a matching
+        # arg fingerprint resumes the denoise loop bitwise-identically
+        checkpoint=None,
+        checkpoint_every: int = 8,
         # --- ALG kwargs (reference surface, :753-773) ---
         use_low_pass_guidance: bool = False,
         lp_filter_type: str = "none",
@@ -230,6 +236,45 @@ class CogVideoXPipeline:
 
         do_cfg = guidance_scale > 1.0
         noise = noise_source or NoiseSource(seed=seed)
+
+        if checkpoint is not None:
+            from alg_tpu.io.runstate import as_checkpoint, run_fingerprint
+
+            checkpoint = as_checkpoint(
+                checkpoint,
+                run_fingerprint(
+                    "cogvideox",
+                    prompt=prompt,
+                    negative_prompt=negative_prompt,
+                    seed=seed,
+                    height=height,
+                    width=width,
+                    num_frames=num_frames,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale,
+                    use_dynamic_cfg=use_dynamic_cfg,
+                    eta=eta,
+                    timesteps=timesteps,
+                    scheduler=self.scheduler,
+                    alg=(
+                        use_low_pass_guidance,
+                        lp_filter_type,
+                        lp_filter_in_latent,
+                        lp_blur_sigma,
+                        lp_blur_kernel_size,
+                        lp_resize_factor,
+                        lp_strength_schedule_type,
+                        schedule_blur_kernel_size,
+                        schedule_interval_start_time,
+                        schedule_interval_end_time,
+                        schedule_linear_start_weight,
+                        schedule_linear_end_weight,
+                        schedule_linear_end_time,
+                        schedule_exp_decay_rate,
+                    ),
+                ),
+                every=checkpoint_every,
+            )
 
         # ---- prompt embeds: [neg, pos] assembled per reference :948-955
         if prompt_embeds is None:
@@ -374,6 +419,7 @@ class CogVideoXPipeline:
             pixel_vae_noise=pixel_vae_noise,
             patch_size_t=patch_size_t,
             step_observer=step_observer,
+            checkpoint=checkpoint,
         )
 
         if output_type == "latent":
@@ -403,6 +449,7 @@ class CogVideoXPipeline:
         pixel_vae_noise=None,
         patch_size_t=None,
         step_observer=None,
+        checkpoint=None,
     ):
         tcfg = self.transformer_cfg
         use_dpm = self.scheduler == "dpm"
@@ -543,15 +590,24 @@ class CogVideoXPipeline:
             # so the device queue stays full — numerics identical to one scan
             latents = data["latents0"]
             carry = (latents, jnp.zeros_like(latents))
+            start = 0
+            if checkpoint is not None:
+                start, carry = checkpoint.restore(carry)
             for seg in lp_plan.segments:
+                if seg.stop <= start:
+                    continue
                 runner = run3 if (seg.three_pass and do_cfg and alg) else run2
-                i = seg.start
+                i = max(seg.start, start)
                 while i < seg.stop:
                     if self.interrupt:
-                        break
+                        return carry[0]
                     n = min(SCAN_CHUNK, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
+                    if checkpoint is not None:
+                        checkpoint.maybe_save(i, carry)
+            if checkpoint is not None:
+                checkpoint.complete()
             return carry[0]
 
         data = {
@@ -590,9 +646,14 @@ class CogVideoXPipeline:
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
 
                 carry = (latents0, jnp.zeros_like(latents0))
+                start = 0
+                if checkpoint is not None:
+                    start, carry = checkpoint.restore(carry)
                 for seg in lp_plan.segments:
+                    if seg.stop <= start:
+                        continue
                     f = step3 if (seg.three_pass and do_cfg and alg) else step2
-                    for i in range(seg.start, seg.stop):
+                    for i in range(max(seg.start, start), seg.stop):
                         if self.interrupt:
                             return carry[0]
                         carry = f(carry, i, data)
@@ -604,6 +665,10 @@ class CogVideoXPipeline:
                                     jnp.asarray(new_lat, carry[0].dtype).reshape(carry[0].shape),
                                     carry[1],
                                 )
+                        if checkpoint is not None:
+                            checkpoint.maybe_save(i + 1, carry)
+                if checkpoint is not None:
+                    checkpoint.complete()
                 return carry[0]
 
             return run(data)

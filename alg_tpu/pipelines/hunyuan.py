@@ -252,9 +252,52 @@ class HunyuanVideoPipeline:
         enable_lp_img_embeds: bool = False,
         image_condition_type: str = "token_replace",
         step_observer=None,
+        # preemption-safe resume (beyond-parity; see io/runstate.py)
+        checkpoint=None,
+        checkpoint_every: int = 8,
     ):
         # reset cooperative interruption for this run (reference :1127)
         self.interrupt = False
+        if checkpoint is not None:
+            from alg_tpu.io.runstate import as_checkpoint, run_fingerprint
+
+            checkpoint = as_checkpoint(
+                checkpoint,
+                run_fingerprint(
+                    "hunyuan",
+                    prompt=prompt,
+                    prompt_2=prompt_2,
+                    negative_prompt=negative_prompt,
+                    seed=seed,
+                    height=height,
+                    width=width,
+                    num_frames=num_frames,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale,
+                    true_cfg_scale=true_cfg_scale,
+                    i2v_stable=i2v_stable,
+                    sigmas=None if sigmas is None else tuple(sigmas),
+                    image_condition_type=image_condition_type,
+                    lp_on_noisy_latent=lp_on_noisy_latent,
+                    alg=(
+                        use_low_pass_guidance,
+                        lp_filter_type,
+                        lp_filter_in_latent,
+                        lp_blur_sigma,
+                        lp_blur_kernel_size,
+                        lp_resize_factor,
+                        lp_strength_schedule_type,
+                        schedule_blur_kernel_size,
+                        schedule_interval_start_time,
+                        schedule_interval_end_time,
+                        schedule_linear_start_weight,
+                        schedule_linear_end_weight,
+                        schedule_linear_end_time,
+                        schedule_exp_decay_rate,
+                    ),
+                ),
+                every=checkpoint_every,
+            )
         processing.validate_attention_kwargs(attention_kwargs)
         assert not enable_lp_img_embeds, (
             "Low-pass filter on image embeds is not supported in HunyuanVideo pipeline."
@@ -407,6 +450,7 @@ class HunyuanVideoPipeline:
             image_condition_type=image_condition_type,
             cond_mask=cond_mask,
             step_observer=step_observer,
+            checkpoint=checkpoint,
         )
 
         if output_type == "latent":
@@ -440,6 +484,7 @@ class HunyuanVideoPipeline:
         image_condition_type: str = "token_replace",
         cond_mask=None,
         step_observer=None,
+        checkpoint=None,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
@@ -584,15 +629,24 @@ class HunyuanVideoPipeline:
             # chunked dispatch (bounded XLA programs, no host fetches between
             # chunks — see core/device.SCAN_CHUNK)
             latents = data["latents0"]
+            start = 0
+            if checkpoint is not None:
+                start, latents = checkpoint.restore(latents)
             for seg in segments:
+                if seg.stop <= start:
+                    continue
                 runner = run3 if seg.three_pass else run2
-                i = seg.start
+                i = max(seg.start, start)
                 while i < seg.stop:
                     if self.interrupt:
-                        break
+                        return latents
                     n = min(SCAN_CHUNK, seg.stop - i)
                     latents = runner(latents, data, jnp.int32(i), n)
                     i += n
+                    if checkpoint is not None:
+                        checkpoint.maybe_save(i, latents)
+            if checkpoint is not None:
+                checkpoint.complete()
             return latents
 
         data = {
@@ -625,9 +679,14 @@ class HunyuanVideoPipeline:
                 step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
                 latents = data["latents0"]
+                start = 0
+                if checkpoint is not None:
+                    start, latents = checkpoint.restore(latents)
                 for seg in segments:
+                    if seg.stop <= start:
+                        continue
                     f = step3 if seg.three_pass else step2
-                    for i in range(seg.start, seg.stop):
+                    for i in range(max(seg.start, start), seg.stop):
                         if self.interrupt:
                             return latents
                         latents = f(latents, i, data)
@@ -638,6 +697,10 @@ class HunyuanVideoPipeline:
                             new_lat = ret.get("latents") if isinstance(ret, dict) else ret
                             if new_lat is not None:
                                 latents = jnp.asarray(new_lat, latents.dtype).reshape(latents.shape)
+                        if checkpoint is not None:
+                            checkpoint.maybe_save(i + 1, latents)
+                if checkpoint is not None:
+                    checkpoint.complete()
                 return latents
             return run(data)
 

@@ -162,9 +162,47 @@ class WanPipeline:
         schedule_linear_end_time: float = 1.0,
         schedule_exp_decay_rate: float = 5.0,
         step_observer=None,
+        # preemption-safe resume (beyond-parity; see io/runstate.py)
+        checkpoint=None,
+        checkpoint_every: int = 8,
     ):
         # reset cooperative interruption for this run (reference :844 loop entry)
         self.interrupt = False
+        if checkpoint is not None:
+            from alg_tpu.io.runstate import as_checkpoint, run_fingerprint
+
+            checkpoint = as_checkpoint(
+                checkpoint,
+                run_fingerprint(
+                    "wan",
+                    prompt=prompt,
+                    negative_prompt=negative_prompt,
+                    seed=seed,
+                    height=height,
+                    width=width,
+                    num_frames=num_frames,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale,
+                    has_last_image=last_image is not None,
+                    alg=(
+                        use_low_pass_guidance,
+                        lp_filter_type,
+                        lp_filter_in_latent,
+                        lp_blur_sigma,
+                        lp_blur_kernel_size,
+                        lp_resize_factor,
+                        lp_strength_schedule_type,
+                        schedule_blur_kernel_size,
+                        schedule_interval_start_time,
+                        schedule_interval_end_time,
+                        schedule_linear_start_weight,
+                        schedule_linear_end_weight,
+                        schedule_linear_end_time,
+                        schedule_exp_decay_rate,
+                    ),
+                ),
+                every=checkpoint_every,
+            )
         processing.validate_attention_kwargs(attention_kwargs)
         # check_inputs (reference :318-370): H, W must divide 16
         if height % 16 != 0 or width % 16 != 0:
@@ -274,6 +312,7 @@ class WanPipeline:
             pixel_image,
             pixel_vae_noise,
             step_observer=step_observer,
+            checkpoint=checkpoint,
         )
 
         if output_type == "latent":
@@ -365,6 +404,7 @@ class WanPipeline:
         pixel_image,
         pixel_vae_noise,
         step_observer=None,
+        checkpoint=None,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
@@ -490,15 +530,24 @@ class WanPipeline:
             latents = data["latents0"]
             state = unipc_init_state(sched_plan, latents.shape)
             carry = (latents, state)
+            start = 0
+            if checkpoint is not None:
+                start, carry = checkpoint.restore(carry)
             for seg in lp_plan.segments:
+                if seg.stop <= start:
+                    continue
                 runner = run3 if (seg.three_pass and do_cfg and alg) else run2
-                i = seg.start
+                i = max(seg.start, start)
                 while i < seg.stop:
                     if self.interrupt:
-                        break
+                        return carry[0]
                     n = min(SCAN_CHUNK, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
+                    if checkpoint is not None:
+                        checkpoint.maybe_save(i, carry)
+            if checkpoint is not None:
+                checkpoint.complete()
             return carry[0]
 
         data = {
@@ -529,9 +578,14 @@ class WanPipeline:
                 step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
                 carry = (data["latents0"], unipc_init_state(sched_plan, data["latents0"].shape))
+                start = 0
+                if checkpoint is not None:
+                    start, carry = checkpoint.restore(carry)
                 for seg in lp_plan.segments:
+                    if seg.stop <= start:
+                        continue
                     f = step3 if (seg.three_pass and do_cfg and alg) else step2
-                    for i in range(seg.start, seg.stop):
+                    for i in range(max(seg.start, start), seg.stop):
                         if self.interrupt:
                             return carry[0]
                         carry = f(carry, i, data)
@@ -545,6 +599,10 @@ class WanPipeline:
                                     jnp.asarray(new_lat, carry[0].dtype).reshape(carry[0].shape),
                                     carry[1],
                                 )
+                        if checkpoint is not None:
+                            checkpoint.maybe_save(i + 1, carry)
+                if checkpoint is not None:
+                    checkpoint.complete()
                 return carry[0]
             return run(data)
 

@@ -64,6 +64,10 @@ def main(args):
     for key, value in cfg.pipeline_kwargs.items():
         if value is not None:
             pipe_kwargs[key] = value
+    if args.checkpoint_path:
+        # beyond-parity: preemption-safe resume (io/runstate.py) — snapshots
+        # the denoise carry; rerunning the same command resumes automatically
+        pipe_kwargs["checkpoint"] = args.checkpoint_path
 
     if family == "hunyuan":
         from alg_tpu.alg.hunyuan_size import get_hunyuan_video_size
@@ -93,6 +97,13 @@ if __name__ == "__main__":
     parser.add_argument("--prompt", type=str, default="a red double decker bus driving down a street")
     parser.add_argument("--output_path", type=str, default="output.mp4")
     parser.add_argument("--model_cache_dir", type=str, default=None)
+    parser.add_argument(
+        "--checkpoint_path",
+        type=str,
+        default=None,
+        help="optional denoise-state snapshot file: the run saves progress "
+        "here and resumes from it after an interruption (beyond-parity)",
+    )
     args = parser.parse_args()
 
     main(args)
