@@ -301,3 +301,67 @@ def test_wan_resume_bitwise_multistep_state(tmp_path, monkeypatch):
 
     resumed = pipe(checkpoint=path, **kw)
     np.testing.assert_array_equal(resumed, ref)
+
+
+def test_hunyuan_resume_bitwise_token_replace(tmp_path, monkeypatch):
+    """Hunyuan's carry is bare latents; the resume must preserve the
+    token_replace frame-0 re-pinning (shipped single-pass ALG path)."""
+    from alg_tpu.models.hunyuan import (
+        HunyuanVAEConfig,
+        HunyuanVideoTransformerConfig,
+        init_hunyuan_transformer,
+        init_hunyuan_vae,
+    )
+    from alg_tpu.pipelines import HunyuanVideoPipeline
+
+    monkeypatch.setattr("alg_tpu.core.device.SCAN_CHUNK", 1)
+
+    tcfg = HunyuanVideoTransformerConfig(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_single_layers=1, num_refiner_layers=1, mlp_ratio=2.0,
+        text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(2, 4, 2),
+    )
+    vcfg = HunyuanVAEConfig(
+        block_out_channels=(8, 16, 16, 16), latent_channels=4, layers_per_block=1, norm_num_groups=4
+    )
+    key = jax.random.PRNGKey(0)
+    pipe = HunyuanVideoPipeline(
+        transformer_cfg=tcfg,
+        transformer_params=init_hunyuan_transformer(key, tcfg),
+        vae_cfg=vcfg,
+        vae_params=init_hunyuan_vae(jax.random.PRNGKey(1), vcfg),
+    )
+
+    rng = np.random.RandomState(0)
+    kw = dict(
+        image=np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1,
+        prompt_embeds=jnp.asarray(rng.randn(1, 7, 12).astype(np.float32)),
+        pooled_prompt_embeds=jnp.asarray(rng.randn(1, 6).astype(np.float32)),
+        prompt_attention_mask=jnp.ones((1, 7), jnp.int32),
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=4,
+        guidance_scale=6.0,
+        true_cfg_scale=1.0,
+        i2v_stable=True,
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.625,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.5,
+        output_type="latent",
+        seed=42,
+    )
+
+    ref = pipe(**kw)
+
+    path = str(tmp_path / "hv.npz")
+    ck = _PreemptingCheckpoint(path, every=1, fail_after=2)
+    with pytest.raises(_Preempted):
+        pipe(checkpoint=ck, **kw)
+
+    resumed = pipe(checkpoint=path, **kw)
+    np.testing.assert_array_equal(resumed, ref)
