@@ -1,109 +1,16 @@
 """CLI — drop-in surface of the reference ``run.py``.
 
-Same flags (``--config --image_path --prompt --output_path --model_cache_dir``,
-reference ``run.py:137-144``), same YAML schema and kwargs-merge semantics
-(``run.py:102-106``), same fixed seed 42 (``run.py:94``), same model-family
-dispatch by path substring (``run.py:45-86``), same H.264 encode parameters
-when ffmpeg is available (``run.py:127-133``).
+Thin wrapper over :mod:`alg_tpu.cli` (the installed ``alg-tpu`` console
+script) so ``python run.py --config ... --image_path ...`` works exactly as
+in the reference repo (``run.py:137-144``).
 """
 
-import argparse
-import logging
-import sys
-
-import numpy as np
-
-logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", stream=sys.stdout)
-logger = logging.getLogger(__name__)
+from alg_tpu.cli import build_parser, run as _run
 
 
 def main(args):
-    import jax
-
-    from alg_tpu.core.config import load_run_config
-    from alg_tpu.io.model_zoo import resolve_model_dir
-    from alg_tpu.io.video import write_video
-
-    cfg = load_run_config(args.config)
-    logger.info("Using device: %s", jax.devices()[0])
-
-    model_dir = resolve_model_dir(cfg.model_path, args.model_cache_dir)
-    family = cfg.family
-
-    if family == "cogvideox":
-        from alg_tpu.io.model_zoo import load_cogvideox_pipeline
-
-        pipe = load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype)
-    elif family == "wan":
-        from alg_tpu.io.model_zoo import load_wan_pipeline
-
-        # reference quirk reproduced: flow_shift keyed on a *string* compare
-        # against the int config value — always 5.0 with shipped configs
-        # (run.py:63)
-        flow_shift = 3.0 if cfg.generation.get("height") == "480" else 5.0
-        pipe = load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift)
-    elif family == "hunyuan":
-        from alg_tpu.io.model_zoo import load_hunyuan_pipeline
-
-        pipe = load_hunyuan_pipeline(
-            model_dir,
-            dtype=cfg.model_dtype,
-            flow_shift=cfg.flow_shift,
-            invert_sigmas=bool(cfg.flow_reverse),
-        )
-    else:  # pragma: no cover
-        raise ValueError(family)
-
-    logger.info("Pipeline loaded successfully.")
-
-    from PIL import Image
-
-    input_image = Image.open(args.image_path).convert("RGB")
-
-    pipe_kwargs = {"image": input_image, "prompt": args.prompt, "seed": 42}
-    for key, value in cfg.pipeline_kwargs.items():
-        if value is not None:
-            pipe_kwargs[key] = value
-    if args.checkpoint_path:
-        # beyond-parity: preemption-safe resume (io/runstate.py) — snapshots
-        # the denoise carry; rerunning the same command resumes automatically
-        pipe_kwargs["checkpoint"] = args.checkpoint_path
-
-    if family == "hunyuan":
-        from alg_tpu.alg.hunyuan_size import get_hunyuan_video_size
-
-        pipe_kwargs["height"], pipe_kwargs["width"] = get_hunyuan_video_size(
-            cfg.video["resolution"], input_image
-        )
-
-    logger.info("Starting video generation...")
-    log_subset = {k: v for k, v in pipe_kwargs.items() if k not in ["image"]}
-    logger.info("Pipeline arguments: %s", log_subset)
-
-    frames = pipe(**pipe_kwargs)[0]  # list of PIL frames for batch 0
-    logger.info("Video generation complete. Received %d frames.", len(frames))
-
-    out = write_video(args.output_path, frames, fps=cfg.video["fps"])
-    logger.info("Saving video to: %s", out)
-    logger.info("Video saved successfully. Run complete.")
+    _run(args)
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser(description="Arguments")
-    parser.add_argument("--config", type=str, default="./configs/hunyuan_video_alg.yaml")
-    parser.add_argument(
-        "--image_path", type=str, default="./assets/a red double decker bus driving down a street.jpg"
-    )
-    parser.add_argument("--prompt", type=str, default="a red double decker bus driving down a street")
-    parser.add_argument("--output_path", type=str, default="output.mp4")
-    parser.add_argument("--model_cache_dir", type=str, default=None)
-    parser.add_argument(
-        "--checkpoint_path",
-        type=str,
-        default=None,
-        help="optional denoise-state snapshot file: the run saves progress "
-        "here and resumes from it after an interruption (beyond-parity)",
-    )
-    args = parser.parse_args()
-
-    main(args)
+    main(build_parser().parse_args())
