@@ -17,42 +17,49 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(
 logger = logging.getLogger(__name__)
 
 
-def run(args):
-    import jax
-
-    from alg_tpu.core.config import load_run_config
+def load_pipeline(cfg, model_cache_dir=None):
+    """Family-dispatched pipeline load (reference ``run.py:45-86`` semantics),
+    shared by the single-run CLI and the batch-serving CLI."""
     from alg_tpu.io.model_zoo import resolve_model_dir
-    from alg_tpu.io.video import write_video
 
-    cfg = load_run_config(args.config)
-    logger.info("Using device: %s", jax.devices()[0])
-
-    model_dir = resolve_model_dir(cfg.model_path, args.model_cache_dir)
+    model_dir = resolve_model_dir(cfg.model_path, model_cache_dir)
     family = cfg.family
 
     if family == "cogvideox":
         from alg_tpu.io.model_zoo import load_cogvideox_pipeline
 
-        pipe = load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype)
-    elif family == "wan":
+        return load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype)
+    if family == "wan":
         from alg_tpu.io.model_zoo import load_wan_pipeline
 
         # reference quirk reproduced: flow_shift keyed on a *string* compare
         # against the int config value — always 5.0 with shipped configs
         # (run.py:63)
         flow_shift = 3.0 if cfg.generation.get("height") == "480" else 5.0
-        pipe = load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift)
-    elif family == "hunyuan":
+        return load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift)
+    if family == "hunyuan":
         from alg_tpu.io.model_zoo import load_hunyuan_pipeline
 
-        pipe = load_hunyuan_pipeline(
+        return load_hunyuan_pipeline(
             model_dir,
             dtype=cfg.model_dtype,
             flow_shift=cfg.flow_shift,
             invert_sigmas=bool(cfg.flow_reverse),
         )
-    else:  # pragma: no cover
-        raise ValueError(family)
+    raise ValueError(family)  # pragma: no cover
+
+
+def run(args):
+    import jax
+
+    from alg_tpu.core.config import load_run_config
+    from alg_tpu.io.video import write_video
+
+    cfg = load_run_config(args.config)
+    logger.info("Using device: %s", jax.devices()[0])
+
+    family = cfg.family
+    pipe = load_pipeline(cfg, args.model_cache_dir)
 
     logger.info("Pipeline loaded successfully.")
 

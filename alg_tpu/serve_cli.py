@@ -1,0 +1,134 @@
+"""Batch-serving CLI — N prompts through one jit-compiled sampler invocation.
+
+The reference CLI is strictly single-prompt (``run.py:137-144``); this
+beyond-parity entry point exposes :func:`alg_tpu.serving.serve_batch` (and
+its ICI mesh sharding) on the command line:
+
+    alg-tpu-serve --config configs/cogvideox_alg.yaml \\
+                  --requests requests.jsonl --output_dir out/ \\
+                  [--dp 2 --sp 1 --tp 4] [--model_cache_dir ...]
+
+``requests.jsonl`` holds one JSON object per line::
+
+    {"prompt": "...", "image_path": "a.png",
+     "negative_prompt": "...", "seed": 7, "output": "bus.mp4"}
+
+``negative_prompt`` defaults to ``""``, ``seed`` to 42 (the reference's fixed
+seed, ``run.py:94``), ``output`` to ``{index:03d}.mp4``. Generation/ALG
+kwargs come from the YAML config with the reference's merge semantics
+(``run.py:102-106``). With any of ``--dp/--sp/--tp`` given, the DiT is placed
+on a ``dp×sp×tp`` device mesh (``alg_tpu.sharding``) and the batch lays out
+along ``dp`` — per-request outputs are identical to single-device runs
+(exactness tests in ``tests/test_sharding.py``).
+
+HunyuanVideo note: resolution bucketing (``lp_utils.py:163-189``) depends on
+each image's aspect ratio, but one batch shares one shape — the bucket is
+computed from the FIRST request's image and applied to all.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", stream=sys.stdout)
+logger = logging.getLogger(__name__)
+
+
+def load_requests(path):
+    from alg_tpu.serving import BatchRequest
+
+    requests, outputs = [], []
+    with open(path) as f:
+        for idx, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            from PIL import Image
+
+            requests.append(
+                BatchRequest(
+                    prompt=obj["prompt"],
+                    image=Image.open(obj["image_path"]).convert("RGB"),
+                    negative_prompt=obj.get("negative_prompt"),
+                    seed=int(obj.get("seed", 42)),
+                )
+            )
+            outputs.append(obj.get("output", f"{idx:03d}.mp4"))
+    if not requests:
+        raise ValueError(f"no requests found in {path}")
+    return requests, outputs
+
+
+def serve(args):
+    import jax
+
+    from alg_tpu.cli import load_pipeline
+    from alg_tpu.core.config import load_run_config
+    from alg_tpu.io.video import write_video
+    from alg_tpu.serving import serve_batch
+
+    cfg = load_run_config(args.config)
+    logger.info("Devices: %d × %s", len(jax.devices()), jax.devices()[0].platform)
+
+    requests, outputs = load_requests(args.requests)
+    logger.info("Loaded %d requests from %s", len(requests), args.requests)
+
+    use_mesh = args.dp != 1 or args.sp != 1 or args.tp != 0
+    if use_mesh and len(requests) % args.dp != 0:
+        raise ValueError(
+            f"{len(requests)} requests do not lay out on dp={args.dp}; "
+            "the batch size must be divisible by dp"
+        )
+
+    pipe = load_pipeline(cfg, args.model_cache_dir)
+    logger.info("Pipeline loaded successfully.")
+
+    mesh = None
+    if use_mesh:
+        from alg_tpu.sharding import make_mesh
+
+        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp or None)
+        logger.info("Serving on mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
+
+    gen_kwargs = {k: v for k, v in cfg.pipeline_kwargs.items() if v is not None}
+    if cfg.family == "hunyuan":
+        from alg_tpu.alg.hunyuan_size import get_hunyuan_video_size
+
+        gen_kwargs["height"], gen_kwargs["width"] = get_hunyuan_video_size(
+            cfg.video["resolution"], requests[0].image
+        )
+
+    logger.info("Starting batched generation (%d requests)...", len(requests))
+    videos = serve_batch(pipe, requests, mesh=mesh, **gen_kwargs)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for name, frames in zip(outputs, videos):
+        out = write_video(os.path.join(args.output_dir, name), frames, fps=cfg.video["fps"])
+        logger.info("Saved %s (%d frames)", out, len(frames))
+    logger.info("Batch complete: %d videos. Run complete.", len(videos))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Batched multi-prompt serving")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--requests", type=str, required=True, help="JSONL: one request object per line")
+    parser.add_argument("--output_dir", type=str, default="serve_out")
+    parser.add_argument("--model_cache_dir", type=str, default=None)
+    parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (prompts)")
+    parser.add_argument("--sp", type=int, default=1, help="sequence-parallel mesh axis (DiT tokens)")
+    parser.add_argument(
+        "--tp", type=int, default=0,
+        help="tensor-parallel mesh axis (0 = fill remaining devices when any mesh flag is set)",
+    )
+    return parser
+
+
+def main(argv=None):
+    serve(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
