@@ -17,9 +17,11 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(
 logger = logging.getLogger(__name__)
 
 
-def load_pipeline(cfg, model_cache_dir=None):
+def load_pipeline(cfg, model_cache_dir=None, quantize=None):
     """Family-dispatched pipeline load (reference ``run.py:45-86`` semantics),
-    shared by the single-run CLI and the batch-serving CLI."""
+    shared by the single-run CLI and the batch-serving CLI. ``quantize``
+    ("w8" | "w4") quantizes the DiT blocks host-side before streaming
+    (HBM-safe int8/int4 serving — beyond-parity)."""
     from alg_tpu.io.model_zoo import resolve_model_dir
 
     model_dir = resolve_model_dir(cfg.model_path, model_cache_dir)
@@ -28,7 +30,7 @@ def load_pipeline(cfg, model_cache_dir=None):
     if family == "cogvideox":
         from alg_tpu.io.model_zoo import load_cogvideox_pipeline
 
-        return load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype)
+        return load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype, quantize=quantize)
     if family == "wan":
         from alg_tpu.io.model_zoo import load_wan_pipeline
 
@@ -36,7 +38,7 @@ def load_pipeline(cfg, model_cache_dir=None):
         # against the int config value — always 5.0 with shipped configs
         # (run.py:63)
         flow_shift = 3.0 if cfg.generation.get("height") == "480" else 5.0
-        return load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift)
+        return load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift, quantize=quantize)
     if family == "hunyuan":
         from alg_tpu.io.model_zoo import load_hunyuan_pipeline
 
@@ -45,6 +47,7 @@ def load_pipeline(cfg, model_cache_dir=None):
             dtype=cfg.model_dtype,
             flow_shift=cfg.flow_shift,
             invert_sigmas=bool(cfg.flow_reverse),
+            quantize=quantize,
         )
     raise ValueError(family)  # pragma: no cover
 
@@ -59,7 +62,7 @@ def run(args):
     logger.info("Using device: %s", jax.devices()[0])
 
     family = cfg.family
-    pipe = load_pipeline(cfg, args.model_cache_dir)
+    pipe = load_pipeline(cfg, args.model_cache_dir, quantize=args.quantize)
 
     logger.info("Pipeline loaded successfully.")
 
@@ -104,6 +107,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prompt", type=str, default="a red double decker bus driving down a street")
     parser.add_argument("--output_path", type=str, default="output.mp4")
     parser.add_argument("--model_cache_dir", type=str, default=None)
+    parser.add_argument(
+        "--quantize",
+        type=str,
+        choices=("w8", "w4"),
+        default=None,
+        help="quantize DiT blocks at load (w8 = W8A8 int8, w4 = W4A8 int4 "
+        "storage); host-side before streaming, so peak HBM is the quantized "
+        "tree (beyond-parity; validate numerics per checkpoint)",
+    )
     parser.add_argument(
         "--checkpoint_path",
         type=str,

@@ -53,6 +53,33 @@ def sync(x=None) -> None:
     np.asarray(leaf.ravel()[:1])
 
 
+def stream_tree(tree):
+    """``device_put`` a host (numpy-leaf) pytree with bounded in-flight bytes.
+
+    Transfers drain every ~1 GiB so the axon tunnel queue never holds more
+    than one spill's worth of weight data; peak HBM == the final tree size
+    (the host leaves are the only other copy). Non-array leaves pass through.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    pending_bytes = 0
+    last_dev = None
+    for leaf in leaves:
+        if not isinstance(leaf, np.ndarray):
+            out.append(leaf)
+            continue
+        dev = jax.device_put(leaf)
+        out.append(dev)
+        last_dev = dev
+        pending_bytes += dev.size * dev.dtype.itemsize
+        if pending_bytes > (1 << 30):
+            sync(dev)
+            pending_bytes = 0
+    if last_dev is not None:
+        sync(last_dev)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def init_streamed(init_fns: Sequence[Callable[[], dict]]) -> List[dict]:
     """Run block-init thunks one at a time, draining the queue after each."""
     out = []

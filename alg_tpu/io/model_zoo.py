@@ -24,7 +24,26 @@ def _load_config(model_dir: str, sub: str) -> Dict[str, Any]:
         return json.load(f)
 
 
-def load_cogvideox_pipeline(model_dir: str, dtype=jnp.bfloat16):
+
+def _convert_transformer(convert_fn, state, tcfg, dtype, quantize=None):
+    """Transformer conversion, optionally quantized BEFORE streaming.
+
+    With ``quantize`` in {"w8", "w4"} the conversion runs host-side
+    (``weights.host_tree``), the block linears quantize on numpy (native C++
+    kernel when built), and only the quantized tree is streamed — peak HBM is
+    the int8/int4 tree, never bf16+int8 together (the single-chip requirement
+    at 5–14B scale; see ``ops/quant.quantize_pipeline``'s HBM caution)."""
+    if quantize is None:
+        return convert_fn(state, tcfg, dtype)
+    from alg_tpu.core.device import stream_tree
+    from alg_tpu.ops.quant import quantize_transformer_params
+
+    with W.host_tree():
+        host = convert_fn(state, tcfg, dtype)
+    return stream_tree(quantize_transformer_params(host, mode=quantize))
+
+
+def load_cogvideox_pipeline(model_dir: str, dtype=jnp.bfloat16, quantize=None):
     """CogVideoX-I2V checkpoint dir → :class:`CogVideoXPipeline`."""
     from alg_tpu.models.cogvideox import CogVideoXTransformerConfig, CogVideoXVAEConfig
     from alg_tpu.models.t5 import T5Config
@@ -89,8 +108,10 @@ def load_cogvideox_pipeline(model_dir: str, dtype=jnp.bfloat16):
     )
     scheduler = "dpm" if "DPM" in sc.get("_class_name", "") else "ddim"
 
-    tparams = W.convert_cogvideox_transformer(
-        W.load_safetensors_dir(os.path.join(model_dir, "transformer")), tcfg, dtype
+    tparams = _convert_transformer(
+        W.convert_cogvideox_transformer,
+        W.load_safetensors_dir(os.path.join(model_dir, "transformer")), tcfg, dtype,
+        quantize=quantize,
     )
     vparams = W.convert_cogvideox_vae(
         W.load_safetensors_dir(os.path.join(model_dir, "vae")), vcfg, jnp.float32
@@ -114,7 +135,7 @@ def load_cogvideox_pipeline(model_dir: str, dtype=jnp.bfloat16):
     )
 
 
-def load_wan_pipeline(model_dir: str, dtype=jnp.bfloat16, flow_shift: float = 5.0):
+def load_wan_pipeline(model_dir: str, dtype=jnp.bfloat16, flow_shift: float = 5.0, quantize=None):
     """Wan2.1-I2V checkpoint dir → :class:`WanPipeline`. Mirrors the reference
     overrides: fp32 CLIP-vision + fp32 VAE, UniPC with flow_shift
     (``run.py:45-63``)."""
@@ -169,8 +190,10 @@ def load_wan_pipeline(model_dir: str, dtype=jnp.bfloat16, flow_shift: float = 5.
         hidden_act=ic.get("hidden_act", "gelu"),
     )
 
-    tparams = W.convert_wan_transformer(
-        W.load_safetensors_dir(os.path.join(model_dir, "transformer")), tcfg, dtype
+    tparams = _convert_transformer(
+        W.convert_wan_transformer,
+        W.load_safetensors_dir(os.path.join(model_dir, "transformer")), tcfg, dtype,
+        quantize=quantize,
     )
     vparams = W.convert_wan_vae(
         W.load_safetensors_dir(os.path.join(model_dir, "vae")), vcfg, jnp.float32
@@ -222,7 +245,8 @@ def _make_wan_tokenizer(model_dir: str):
 
 
 def load_hunyuan_pipeline(
-    model_dir: str, dtype=jnp.bfloat16, flow_shift: float = 7.0, invert_sigmas: bool = False
+    model_dir: str, dtype=jnp.bfloat16, flow_shift: float = 7.0, invert_sigmas: bool = False,
+    quantize=None,
 ):
     """HunyuanVideo-I2V checkpoint dir → :class:`HunyuanVideoPipeline`
     (bf16 transformer, flow-match Euler re-init per ``run.py:71-86``)."""
@@ -297,8 +321,10 @@ def load_hunyuan_pipeline(
         eos_token_id=c2.get("eos_token_id", 49407),
     )
 
-    tparams = W.convert_hunyuan_transformer(
-        W.load_safetensors_dir(os.path.join(model_dir, "transformer")), tcfg, dtype
+    tparams = _convert_transformer(
+        W.convert_hunyuan_transformer,
+        W.load_safetensors_dir(os.path.join(model_dir, "transformer")), tcfg, dtype,
+        quantize=quantize,
     )
     vparams = W.convert_hunyuan_vae(
         W.load_safetensors_dir(os.path.join(model_dir, "vae")), vcfg, jnp.float32

@@ -18,12 +18,46 @@ path is exercised by the tiny-model parity tests and by real checkpoints.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import Dict, Mapping
 
 import numpy as np
 import jax.numpy as jnp
+
+
+_HOST_MODE = False
+
+
+@contextlib.contextmanager
+def host_tree():
+    """Convert into HOST numpy leaves (ml_dtypes bf16) instead of device
+    arrays. Used for quantize-before-streaming: at 5–14B scale the bf16 tree
+    plus its int8 copy cannot both be HBM-resident (``ops/quant.py``
+    ``quantize_pipeline`` caution), so conversion stays host-side, the
+    quantizer runs on numpy (native C++ kernel), and only the quantized tree
+    is streamed (``core.device.stream_tree``)."""
+    global _HOST_MODE
+    prev = _HOST_MODE
+    _HOST_MODE = True
+    try:
+        yield
+    finally:
+        _HOST_MODE = prev
+
+
+def _as(x, dtype=None):
+    if _HOST_MODE:
+        # jnp dtypes (incl. bfloat16) are numpy/ml_dtypes dtypes — np handles them
+        return np.asarray(x, dtype=dtype) if dtype is not None else np.asarray(x)
+    return jnp.asarray(x, dtype)
+
+
+def _stack(xs):
+    if _HOST_MODE:
+        return np.stack(xs)
+    return jnp.stack(xs)
 
 
 def _np(x) -> np.ndarray:
@@ -45,37 +79,37 @@ def _np(x) -> np.ndarray:
 
 def linear(state: Mapping, prefix: str, dtype=None) -> Dict:
     w = _np(state[f"{prefix}.weight"]).T
-    p = {"kernel": jnp.asarray(w, dtype)}
+    p = {"kernel": _as(w, dtype)}
     if f"{prefix}.bias" in state:
-        p["bias"] = jnp.asarray(_np(state[f"{prefix}.bias"]), dtype)
+        p["bias"] = _as(_np(state[f"{prefix}.bias"]), dtype)
     return p
 
 
 def norm(state: Mapping, prefix: str, dtype=None) -> Dict:
-    p = {"scale": jnp.asarray(_np(state[f"{prefix}.weight"]), dtype)}
+    p = {"scale": _as(_np(state[f"{prefix}.weight"]), dtype)}
     if f"{prefix}.bias" in state:
-        p["bias"] = jnp.asarray(_np(state[f"{prefix}.bias"]), dtype)
+        p["bias"] = _as(_np(state[f"{prefix}.bias"]), dtype)
     return p
 
 
 def conv3d(state: Mapping, prefix: str, dtype=None) -> Dict:
     w = _np(state[f"{prefix}.weight"]).transpose(2, 3, 4, 1, 0)  # OIDHW → DHWIO
-    p = {"kernel": jnp.asarray(w, dtype)}
+    p = {"kernel": _as(w, dtype)}
     if f"{prefix}.bias" in state:
-        p["bias"] = jnp.asarray(_np(state[f"{prefix}.bias"]), dtype)
+        p["bias"] = _as(_np(state[f"{prefix}.bias"]), dtype)
     return p
 
 
 def conv2d(state: Mapping, prefix: str, dtype=None) -> Dict:
     w = _np(state[f"{prefix}.weight"]).transpose(2, 3, 1, 0)  # OIHW → HWIO
-    p = {"kernel": jnp.asarray(w, dtype)}
+    p = {"kernel": _as(w, dtype)}
     if f"{prefix}.bias" in state:
-        p["bias"] = jnp.asarray(_np(state[f"{prefix}.bias"]), dtype)
+        p["bias"] = _as(_np(state[f"{prefix}.bias"]), dtype)
     return p
 
 
 def embedding(state: Mapping, key: str, dtype=None):
-    return jnp.asarray(_np(state[key]), dtype)
+    return _as(_np(state[key]), dtype)
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
@@ -109,7 +143,7 @@ def convert_t5_encoder(state: Mapping, cfg, dtype=None) -> Dict:
         }
         rb = f"{b}.layer.0.SelfAttention.relative_attention_bias.weight"
         if rb in state:
-            attn["relative_attention_bias"] = jnp.asarray(_np(state[rb]), dtype)
+            attn["relative_attention_bias"] = _as(_np(state[rb]), dtype)
         blocks.append(
             {
                 "attn_norm": norm(state, f"{b}.layer.0.layer_norm", dtype),
@@ -156,7 +190,7 @@ def convert_clip_vision(state: Mapping, cfg, dtype=None) -> Dict:
     return {
         "class_embedding": embedding(state, f"{p}.embeddings.class_embedding", dtype),
         "patch_embedding": {
-            "kernel": jnp.asarray(
+            "kernel": _as(
                 _np(state[f"{p}.embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0), dtype
             )
         },
@@ -186,12 +220,12 @@ def convert_llama(state: Mapping, cfg, dtype=None, prefix: str = "model") -> Dic
         b = f"{dot}layers.{i}"
         blocks.append(
             {
-                "input_norm": {"scale": jnp.asarray(_np(state[f"{b}.input_layernorm.weight"]), dtype)},
+                "input_norm": {"scale": _as(_np(state[f"{b}.input_layernorm.weight"]), dtype)},
                 "q": linear(state, f"{b}.self_attn.q_proj", dtype),
                 "k": linear(state, f"{b}.self_attn.k_proj", dtype),
                 "v": linear(state, f"{b}.self_attn.v_proj", dtype),
                 "o": linear(state, f"{b}.self_attn.o_proj", dtype),
-                "post_norm": {"scale": jnp.asarray(_np(state[f"{b}.post_attention_layernorm.weight"]), dtype)},
+                "post_norm": {"scale": _as(_np(state[f"{b}.post_attention_layernorm.weight"]), dtype)},
                 "gate": linear(state, f"{b}.mlp.gate_proj", dtype),
                 "up": linear(state, f"{b}.mlp.up_proj", dtype),
                 "down": linear(state, f"{b}.mlp.down_proj", dtype),
@@ -200,7 +234,7 @@ def convert_llama(state: Mapping, cfg, dtype=None, prefix: str = "model") -> Dic
     return {
         "embed": embedding(state, f"{dot}embed_tokens.weight", dtype),
         "blocks": blocks,
-        "final_norm": {"scale": jnp.asarray(_np(state[f"{dot}norm.weight"]), dtype)},
+        "final_norm": {"scale": _as(_np(state[f"{dot}norm.weight"]), dtype)},
     }
 
 
@@ -246,7 +280,7 @@ def convert_cogvideox_transformer(state: Mapping, cfg, dtype=None) -> Dict:
     else:
         w = pe_w.T
     patch_embed = {
-        "proj": {"kernel": jnp.asarray(w, dtype), "bias": jnp.asarray(_np(state["patch_embed.proj.bias"]), dtype)},
+        "proj": {"kernel": _as(w, dtype), "bias": _as(_np(state["patch_embed.proj.bias"]), dtype)},
         "text_proj": linear(state, "patch_embed.text_proj", dtype),
     }
 
@@ -284,7 +318,7 @@ def convert_cogvideox_transformer(state: Mapping, cfg, dtype=None) -> Dict:
             "linear_1": linear(state, "time_embedding.linear_1", dtype),
             "linear_2": linear(state, "time_embedding.linear_2", dtype),
         },
-        "blocks": _jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "blocks": _jax.tree.map(lambda *xs: _stack(xs), *blocks),
         "norm_final": norm(state, "norm_final", dtype),
         "norm_out": {
             "linear": linear(state, "norm_out.linear", dtype),
@@ -311,8 +345,8 @@ def convert_wan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
 
     pe_w = _np(state["patch_embedding.weight"])  # [dim, in, pt, ph, pw]
     patch = {
-        "kernel": jnp.asarray(pe_w.reshape(pe_w.shape[0], -1).T, dtype),
-        "bias": jnp.asarray(_np(state["patch_embedding.bias"]), dtype),
+        "kernel": _as(pe_w.reshape(pe_w.shape[0], -1).T, dtype),
+        "bias": _as(_np(state["patch_embedding.bias"]), dtype),
     }
     ce = {
         "time_embedder": {
@@ -339,14 +373,14 @@ def convert_wan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
             "to_k": linear(state, f"{prefix}.to_k", dtype),
             "to_v": linear(state, f"{prefix}.to_v", dtype),
             "to_out": linear(state, f"{prefix}.to_out.0", dtype),
-            "norm_q": {"scale": jnp.asarray(_np(state[f"{prefix}.norm_q.weight"]), dtype)},
-            "norm_k": {"scale": jnp.asarray(_np(state[f"{prefix}.norm_k.weight"]), dtype)},
+            "norm_q": {"scale": _as(_np(state[f"{prefix}.norm_q.weight"]), dtype)},
+            "norm_k": {"scale": _as(_np(state[f"{prefix}.norm_k.weight"]), dtype)},
         }
         if with_added:
             p["add_k_proj"] = linear(state, f"{prefix}.add_k_proj", dtype)
             p["add_v_proj"] = linear(state, f"{prefix}.add_v_proj", dtype)
             p["norm_added_k"] = {
-                "scale": jnp.asarray(_np(state[f"{prefix}.norm_added_k.weight"]), dtype)
+                "scale": _as(_np(state[f"{prefix}.norm_added_k.weight"]), dtype)
             }
         return p
 
@@ -355,7 +389,7 @@ def convert_wan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
         b = f"blocks.{i}"
         blocks.append(
             {
-                "scale_shift_table": jnp.asarray(
+                "scale_shift_table": _as(
                     _np(state[f"{b}.scale_shift_table"]).reshape(6, -1), dtype
                 ),
                 "attn1": attn(f"{b}.attn1", False),
@@ -370,8 +404,8 @@ def convert_wan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
     return {
         "patch_embedding": patch,
         "condition_embedder": ce,
-        "blocks": _jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
-        "scale_shift_table": jnp.asarray(_np(state["scale_shift_table"]).reshape(2, -1), dtype),
+        "blocks": _jax.tree.map(lambda *xs: _stack(xs), *blocks),
+        "scale_shift_table": _as(_np(state["scale_shift_table"]).reshape(2, -1), dtype),
         "proj_out": linear(state, "proj_out", dtype),
     }
 
@@ -384,8 +418,8 @@ def convert_hunyuan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
     xe_w = _np(state["x_embedder.proj.weight"])  # conv3d [dim, C, pt, p, p]
     params = {
         "x_embedder": {
-            "kernel": jnp.asarray(xe_w.reshape(xe_w.shape[0], -1).T, dtype),
-            "bias": jnp.asarray(_np(state["x_embedder.proj.bias"]), dtype),
+            "kernel": _as(xe_w.reshape(xe_w.shape[0], -1).T, dtype),
+            "bias": _as(_np(state["x_embedder.proj.bias"]), dtype),
         },
         "context_embedder": {
             "input_embedder": linear(state, "context_embedder.proj_in", dtype),
@@ -436,7 +470,7 @@ def convert_hunyuan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
         }
 
     def rms(prefix):
-        return {"scale": jnp.asarray(_np(state[f"{prefix}.weight"]), dtype)}
+        return {"scale": _as(_np(state[f"{prefix}.weight"]), dtype)}
 
     dblocks = []
     for i in range(cfg.num_layers):
@@ -469,7 +503,7 @@ def convert_hunyuan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
                 },
             }
         )
-    params["transformer_blocks"] = _jax.tree.map(lambda *xs: jnp.stack(xs), *dblocks)
+    params["transformer_blocks"] = _jax.tree.map(lambda *xs: _stack(xs), *dblocks)
 
     sblocks = []
     for i in range(cfg.num_single_layers):
@@ -488,12 +522,12 @@ def convert_hunyuan_transformer(state: Mapping, cfg, dtype=None) -> Dict:
                 "proj_out": linear(state, f"{b}.proj_out", dtype),
             }
         )
-    params["single_transformer_blocks"] = _jax.tree.map(lambda *xs: jnp.stack(xs), *sblocks)
+    params["single_transformer_blocks"] = _jax.tree.map(lambda *xs: _stack(xs), *sblocks)
     return params
 
 
 def _gamma(state: Mapping, key: str, dtype=None):
-    return {"gamma": jnp.asarray(_np(state[key]).reshape(-1), dtype)}
+    return {"gamma": _as(_np(state[key]).reshape(-1), dtype)}
 
 
 def convert_wan_vae(state: Mapping, cfg, dtype=None) -> Dict:
@@ -515,17 +549,17 @@ def convert_wan_vae(state: Mapping, cfg, dtype=None) -> Dict:
     def attention(prefix):
         def conv1x1_as_3d(key_w):
             w = _np(state[key_w])  # [out, in, 1, 1]
-            return jnp.asarray(w.reshape(w.shape[0], w.shape[1]).T[None, None, None], dtype)
+            return _as(w.reshape(w.shape[0], w.shape[1]).T[None, None, None], dtype)
 
         return {
             "norm": _gamma(state, f"{prefix}.norm.gamma", dtype),
             "to_qkv": {
                 "kernel": conv1x1_as_3d(f"{prefix}.to_qkv.weight"),
-                "bias": jnp.asarray(_np(state[f"{prefix}.to_qkv.bias"]), dtype),
+                "bias": _as(_np(state[f"{prefix}.to_qkv.bias"]), dtype),
             },
             "proj": {
                 "kernel": conv1x1_as_3d(f"{prefix}.proj.weight"),
-                "bias": jnp.asarray(_np(state[f"{prefix}.proj.bias"]), dtype),
+                "bias": _as(_np(state[f"{prefix}.proj.bias"]), dtype),
             },
         }
 

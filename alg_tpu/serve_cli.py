@@ -83,7 +83,7 @@ def serve(args):
             "the batch size must be divisible by dp"
         )
 
-    pipe = load_pipeline(cfg, args.model_cache_dir)
+    pipe = load_pipeline(cfg, args.model_cache_dir, quantize=args.quantize)
     logger.info("Pipeline loaded successfully.")
 
     mesh = None
@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--requests", type=str, required=True, help="JSONL: one request object per line")
     parser.add_argument("--output_dir", type=str, default="serve_out")
     parser.add_argument("--model_cache_dir", type=str, default=None)
+    parser.add_argument(
+        "--quantize", type=str, choices=("w8", "w4"), default=None,
+        help="quantize DiT blocks at load, host-side before streaming (W8A8/W4A8)",
+    )
     parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (prompts)")
     parser.add_argument("--sp", type=int, default=1, help="sequence-parallel mesh axis (DiT tokens)")
     parser.add_argument(

@@ -219,3 +219,25 @@ video:
         timeout=120,
     )
     assert proc2.returncode != 0
+
+
+def test_load_pipeline_quantize_at_load(tiny_ckpt):
+    """--quantize wiring: host-side conversion + quantize-before-streaming
+    (io/model_zoo._convert_transformer). At tiny dims no linear crosses the
+    128-wide quantization threshold, so the loaded tree must be bitwise equal
+    to the normal load — which pins exactly the property that matters: the
+    host_tree/stream_tree route changes WHERE conversion happens, never the
+    values. (Actual int8 code parity: test_quant.test_host_quantize_matches_
+    device_quantize.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from alg_tpu.io.model_zoo import load_cogvideox_pipeline
+
+    plain = load_cogvideox_pipeline(tiny_ckpt, dtype=jnp.float32)
+    quant = load_cogvideox_pipeline(tiny_ckpt, dtype=jnp.float32, quantize="w8")
+    lp = jax.tree_util.tree_leaves(plain.transformer_params)
+    lq = jax.tree_util.tree_leaves(quant.transformer_params)
+    assert len(lp) == len(lq)
+    for a, b in zip(lp, lq):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -296,3 +296,65 @@ def test_host_init_and_pipeline_mode_w4():
     assert "kernel_q4" in qpipe.transformer_params["blocks"]["attn"]["to_q"]
     qpipe8 = quantize_pipeline(pipe)
     assert "kernel_q" in qpipe8.transformer_params["blocks"]["attn"]["to_q"]
+
+
+def test_host_quantize_matches_device_quantize(rng):
+    """quantize-before-streaming (io/model_zoo._convert_transformer) must be
+    bitwise-identical to quantizing a device-resident tree: same int8 codes,
+    same scales, regardless of whether the kernel arrives as host numpy or a
+    jax array."""
+    import ml_dtypes
+
+    k32 = (rng.randn(2, 256, 384) * 0.05).astype(np.float32)
+    for dt in (np.float32, ml_dtypes.bfloat16):
+        k = k32.astype(dt)
+        tree_host = {"transformer_blocks": {"ff": {"kernel": k}}}
+        tree_dev = {"transformer_blocks": {"ff": {"kernel": jnp.asarray(k)}}}
+        for mode in ("w8", "w4"):
+            qh = quantize_transformer_params(tree_host, mode=mode)
+            qd = quantize_transformer_params(tree_dev, mode=mode)
+            lh = jax.tree_util.tree_leaves(qh)
+            ld = jax.tree_util.tree_leaves(qd)
+            assert len(lh) == len(ld)
+            for a, b in zip(lh, ld):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_tree_roundtrip(rng):
+    """core.device.stream_tree: numpy leaves land on device bitwise, non-array
+    leaves pass through."""
+    import ml_dtypes
+
+    from alg_tpu.core.device import stream_tree
+
+    tree = {
+        "a": rng.randn(64, 64).astype(np.float32),
+        "b": (rng.randn(8) * 3).astype(ml_dtypes.bfloat16),
+        "q": np.clip(rng.randn(16, 16) * 50, -127, 127).astype(np.int8),
+        "meta": "keep-me",
+    }
+    out = stream_tree(tree)
+    assert out["meta"] == "keep-me"
+    for key in ("a", "b", "q"):
+        assert isinstance(out[key], jax.Array), key
+        np.testing.assert_array_equal(np.asarray(out[key]), tree[key])
+
+
+def test_host_tree_conversion_matches_device(rng):
+    """weights.host_tree(): converters emit bitwise-identical values as host
+    numpy (guards the _as/_stack refactor behind quantize-at-load)."""
+    import torch
+
+    from alg_tpu.io import weights as W
+
+    state = {
+        "layer.weight": torch.tensor(rng.randn(48, 32), dtype=torch.float32),
+        "layer.bias": torch.tensor(rng.randn(48), dtype=torch.float32),
+    }
+    dev = W.linear(state, "layer", jnp.float32)
+    with W.host_tree():
+        host = W.linear(state, "layer", jnp.float32)
+    assert isinstance(host["kernel"], np.ndarray)
+    assert isinstance(dev["kernel"], jax.Array)
+    np.testing.assert_array_equal(host["kernel"], np.asarray(dev["kernel"]))
+    np.testing.assert_array_equal(host["bias"], np.asarray(dev["bias"]))
