@@ -63,6 +63,14 @@ def load_requests(path):
 
 
 def serve(args):
+    pid, pcount = 0, 1
+    if args.multihost:
+        # must run before any other jax call claims the local backend
+        from alg_tpu.sharding.multihost import initialize
+
+        pid, pcount = initialize(args.coordinator, args.num_processes, args.process_id)
+        logger.info("Multihost: process %d/%d", pid, pcount)
+
     import jax
 
     from alg_tpu.cli import load_pipeline
@@ -76,6 +84,21 @@ def serve(args):
     requests, outputs = load_requests(args.requests)
     logger.info("Loaded %d requests from %s", len(requests), args.requests)
 
+    if args.multihost:
+        # each process serves a contiguous block on its LOCAL devices — the
+        # requests are independent, so DCN carries zero intra-step traffic
+        # (sharding/multihost.py rationale)
+        from alg_tpu.sharding.multihost import local_request_slice
+
+        sl = local_request_slice(len(requests))
+        requests, outputs = requests[sl], outputs[sl]
+        logger.info(
+            "Multihost: process %d serves requests [%d, %d)", pid, sl.start, sl.stop
+        )
+        if not requests:
+            logger.info("Multihost: no requests for this process. Run complete.")
+            return
+
     use_mesh = args.dp != 1 or args.sp != 1 or args.tp != 0
     if use_mesh and len(requests) % args.dp != 0:
         raise ValueError(
@@ -88,9 +111,14 @@ def serve(args):
 
     mesh = None
     if use_mesh:
-        from alg_tpu.sharding import make_mesh
+        if args.multihost:
+            from alg_tpu.sharding.multihost import local_mesh
 
-        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp or None)
+            mesh = local_mesh(dp=args.dp, sp=args.sp, tp=args.tp or None)
+        else:
+            from alg_tpu.sharding import make_mesh
+
+            mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp or None)
         logger.info("Serving on mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     gen_kwargs = {k: v for k, v in cfg.pipeline_kwargs.items() if v is not None}
@@ -127,6 +155,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--tp", type=int, default=0,
         help="tensor-parallel mesh axis (0 = fill remaining devices when any mesh flag is set)",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="multi-process serving: jax.distributed bring-up, each process "
+        "serves a contiguous slice of the request list on its LOCAL devices "
+        "(mesh flags then apply per process; DCN carries no intra-step traffic)",
+    )
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address (host:port); omit on TPU pods (auto)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
 
 

@@ -1,4 +1,10 @@
 from alg_tpu.sharding.mesh import make_mesh, cpu_mesh
+from alg_tpu.sharding.multihost import (
+    initialize as multihost_initialize,
+    local_mesh,
+    local_request_slice,
+    serve_batch_multihost,
+)
 from alg_tpu.sharding.partition import (
     cogvideox_transformer_specs,
     hunyuan_transformer_specs,
@@ -9,6 +15,10 @@ from alg_tpu.sharding.partition import (
 __all__ = [
     "make_mesh",
     "cpu_mesh",
+    "multihost_initialize",
+    "local_mesh",
+    "local_request_slice",
+    "serve_batch_multihost",
     "cogvideox_transformer_specs",
     "wan_transformer_specs",
     "hunyuan_transformer_specs",
