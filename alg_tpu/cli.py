@@ -79,7 +79,10 @@ def run(args):
         # the denoise carry; rerunning the same command resumes automatically
         pipe_kwargs["checkpoint"] = args.checkpoint_path
 
-    if family == "hunyuan":
+    if family == "hunyuan" and "resolution" in (cfg.video or {}):
+        # reference run.py:112-113 — bucketed H/W from the input image's
+        # aspect ratio; explicit generation.height/width apply when the
+        # config carries no video.resolution
         from alg_tpu.alg.hunyuan_size import get_hunyuan_video_size
 
         pipe_kwargs["height"], pipe_kwargs["width"] = get_hunyuan_video_size(

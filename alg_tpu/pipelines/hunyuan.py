@@ -143,22 +143,23 @@ class HunyuanVideoPipeline:
 
         pixels = clip_preprocess(image, self.llava_cfg.vision.image_size)
 
-        # expand <image> token to image_emb_len positions (reference :107-148)
+        # expand <image> token to image_emb_len positions (reference :107-148):
+        # non-image tokens scatter to cumsum positions (each image token
+        # widens the row by image_emb_len-1), then the image block is
+        # force-written at [image_emb_start:image_emb_end] regardless of
+        # where the <image> token sat
         cfg = self.llava_cfg
         b = ids.shape[0]
-        expanded = []
-        for bi in range(b):
-            row = ids[bi]
-            non_img = row[row != cfg.image_token_index]
-            new = np.full(max_len + image_emb_len - 1, cfg.pad_token_id, np.int64)
-            new[:image_emb_start] = non_img[:image_emb_start]
-            new[image_emb_start:image_emb_end] = cfg.image_token_index
-            rest = non_img[image_emb_start:]
-            new[image_emb_end : image_emb_end + len(rest)] = rest
-            expanded.append(new)
-        expanded = np.stack(expanded)
+        special = ids == cfg.image_token_index
+        max_expanded = max_len + int(special.sum(-1).max()) * (image_emb_len - 1)
+        new_pos = np.cumsum(special * (image_emb_len - 1) + 1, axis=-1) - 1
+        expanded = np.full((b, max_expanded), cfg.pad_token_id, np.int64)
+        bi_idx, tok_idx = np.where(~special)
+        expanded[bi_idx, new_pos[bi_idx, tok_idx]] = ids[bi_idx, tok_idx]
+        expanded[:, image_emb_start:image_emb_end] = cfg.image_token_index
         exp_mask = (expanded != cfg.pad_token_id).astype(np.int64)
-        position_ids = np.maximum(np.cumsum(exp_mask, axis=-1) - 1, 0)
+        # masked position ids fill with 1, not 0 (reference :144 masked_fill_)
+        position_ids = np.where(exp_mask == 1, np.cumsum(exp_mask, axis=-1) - 1, 1)
 
         # one compiled Llava forward (32-layer Llama at real scale — an eager
         # op-by-op dispatch here costs seconds per run on the axon tunnel);
@@ -175,10 +176,21 @@ class HunyuanVideoPipeline:
 
         # crop bookkeeping (reference :355-405)
         text_crop_start = crop_start - 1 + image_emb_len
+        # truncated-prompt quirk (reference :360-365): when exactly 3
+        # double-return tokens exist in the whole batch (the template's 4th —
+        # after the assistant header — was truncated away; only possible at
+        # B=1), the reference appends seq_len, so the crop lands at the end
+        total_drt = int((ids == double_return).sum())
         embeds_list, mask_list, img_list = [], [], []
         for bi in range(b):
             drt = np.where(ids[bi] == double_return)[0]
-            last = drt[-1] if len(drt) else ids.shape[1]
+            if total_drt == 3 and b == 1:
+                last = ids.shape[1]
+            else:
+                # per-row last occurrence (reference reshape(B,-1)[:, -1]);
+                # no-occurrence rows crop at the end (reference would error —
+                # reachable only with toy tokenizers)
+                last = drt[-1] if len(drt) else ids.shape[1]
             a_start = last - 1 + image_emb_len - 4
             a_end = last - 1 + image_emb_len
             m_start, m_end = last - 4, last
@@ -198,7 +210,10 @@ class HunyuanVideoPipeline:
 
     def encode_prompt(self, image, prompt, prompt_2=None, template=DEFAULT_PROMPT_TEMPLATE, max_sequence_length=256, image_embed_interleave=2):
         embeds, mask = self._get_llama_prompt_embeds(image, prompt, template, max_sequence_length, image_embed_interleave)
-        ids = self.tokenize_clip([prompt_2 or prompt] if isinstance(prompt_2 or prompt, str) else (prompt_2 or prompt), 77)
+        # reference max_sequence_length=77 (:421-452) == real CLIP's position
+        # table; clamp for smaller test checkpoints
+        clip_len = min(77, self.clip_cfg.max_position_embeddings)
+        ids = self.tokenize_clip([prompt_2 or prompt] if isinstance(prompt_2 or prompt, str) else (prompt_2 or prompt), clip_len)
         fn = jax.jit(lambda p, i: clip_text_encode(p, self.clip_cfg, i)[1])
         pooled = fn(self.clip_params, jnp.asarray(ids)).astype(self.dtype)
         return embeds, pooled, mask

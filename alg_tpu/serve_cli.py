@@ -122,7 +122,10 @@ def serve(args):
         logger.info("Serving on mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     gen_kwargs = {k: v for k, v in cfg.pipeline_kwargs.items() if v is not None}
-    if cfg.family == "hunyuan":
+    if cfg.family == "hunyuan" and "resolution" in (cfg.video or {}):
+        # reference run.py:112-113 — bucketed H/W from the input image's
+        # aspect ratio; explicit generation.height/width apply when the
+        # config carries no video.resolution
         from alg_tpu.alg.hunyuan_size import get_hunyuan_video_size
 
         gen_kwargs["height"], gen_kwargs["width"] = get_hunyuan_video_size(

@@ -79,10 +79,19 @@ def _encode_wan(pipeline, requests, gen_kwargs):
 
 def _encode_hunyuan(pipeline, requests, gen_kwargs):
     # Llava prompt embeds depend on each request's image (the template embeds
-    # 576 image tokens); encode per request and batch the crops.
+    # 576 image tokens); encode per request and batch the crops. Encoding
+    # honors the config's template/length kwargs (they are legal pipeline
+    # kwargs — reference ``__call__`` surface) rather than pinning defaults.
+    enc_kwargs = {}
+    if gen_kwargs.get("prompt_template") is not None:
+        enc_kwargs["template"] = gen_kwargs["prompt_template"]
+    if gen_kwargs.get("max_sequence_length") is not None:
+        enc_kwargs["max_sequence_length"] = gen_kwargs["max_sequence_length"]
+    if gen_kwargs.get("image_embed_interleave") is not None:
+        enc_kwargs["image_embed_interleave"] = gen_kwargs["image_embed_interleave"]
     embeds, pooled, masks = [], [], []
     for r in requests:
-        e, p, m = pipeline.encode_prompt(r.image, r.prompt)
+        e, p, m = pipeline.encode_prompt(r.image, r.prompt, **enc_kwargs)
         embeds.append(e)
         pooled.append(p)
         masks.append(m)
@@ -99,7 +108,7 @@ def _encode_hunyuan(pipeline, requests, gen_kwargs):
         black = PILImage.new("RGB", (width, height), 0)
         n_embeds, n_pooled, n_masks = [], [], []
         for r in requests:
-            e, p, m = pipeline.encode_prompt(black, r.negative_prompt or "")
+            e, p, m = pipeline.encode_prompt(black, r.negative_prompt or "", **enc_kwargs)
             n_embeds.append(e)
             n_pooled.append(p)
             n_masks.append(m)

@@ -225,8 +225,13 @@ def make_tokenizer(root: str, vocab_size: int = 64) -> None:
     for j, w in enumerate(common):
         words[w] = 3 + j
         del words[f"tok{3 + j}"]
+    # Llava image slot (Hunyuan tiny config pins image_token_index=60); added
+    # as a special token so the Whitespace pre-tokenizer doesn't split it
+    words["<image>"] = 60
+    del words["tok60"]
     tok = Tokenizer(models.WordLevel(words, unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.add_special_tokens(["<image>"])
     tok_dir = os.path.join(root, "tokenizer")
     os.makedirs(tok_dir, exist_ok=True)
     tok.save(os.path.join(tok_dir, "tokenizer.json"))
@@ -752,11 +757,13 @@ def build_hunyuan(root: str, seed: int = 0) -> None:
         json.dump(lcfg, f)
     _save(os.path.join(root, "text_encoder", "model.safetensors"), st)
 
-    # CLIP text encoder #2
+    # CLIP text encoder #2 — hidden_size must equal the transformer's
+    # pooled_projection_dim (8): encode_prompt feeds the pooled output
+    # straight into the DiT's text_embedder (real scale: 768 == 768)
     c2 = {
         "vocab_size": 64,
-        "hidden_size": 12,
-        "intermediate_size": 24,
+        "hidden_size": 8,
+        "intermediate_size": 16,
         "num_hidden_layers": 2,
         "num_attention_heads": 4,
         "max_position_embeddings": 16,
@@ -765,23 +772,23 @@ def build_hunyuan(root: str, seed: int = 0) -> None:
     }
     tp = "text_model"
     st = {
-        f"{tp}.embeddings.token_embedding.weight": _w(rng, 64, 12, scale=1.0),
-        f"{tp}.embeddings.position_embedding.weight": _w(rng, 16, 12),
-        f"{tp}.final_layer_norm.weight": np.ones(12, np.float32),
-        f"{tp}.final_layer_norm.bias": np.zeros(12, np.float32),
+        f"{tp}.embeddings.token_embedding.weight": _w(rng, 64, 8, scale=1.0),
+        f"{tp}.embeddings.position_embedding.weight": _w(rng, 16, 8),
+        f"{tp}.final_layer_norm.weight": np.ones(8, np.float32),
+        f"{tp}.final_layer_norm.bias": np.zeros(8, np.float32),
     }
     for i in range(2):
         b = f"{tp}.encoder.layers.{i}"
         for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
-            st[f"{b}.self_attn.{nm}.weight"] = _w(rng, 12, 12)
-            st[f"{b}.self_attn.{nm}.bias"] = _w(rng, 12)
+            st[f"{b}.self_attn.{nm}.weight"] = _w(rng, 8, 8)
+            st[f"{b}.self_attn.{nm}.bias"] = _w(rng, 8)
         for nm in ("layer_norm1", "layer_norm2"):
-            st[f"{b}.{nm}.weight"] = np.ones(12, np.float32)
-            st[f"{b}.{nm}.bias"] = np.zeros(12, np.float32)
-        st[f"{b}.mlp.fc1.weight"] = _w(rng, 24, 12)
-        st[f"{b}.mlp.fc1.bias"] = _w(rng, 24)
-        st[f"{b}.mlp.fc2.weight"] = _w(rng, 12, 24)
-        st[f"{b}.mlp.fc2.bias"] = _w(rng, 12)
+            st[f"{b}.{nm}.weight"] = np.ones(8, np.float32)
+            st[f"{b}.{nm}.bias"] = np.zeros(8, np.float32)
+        st[f"{b}.mlp.fc1.weight"] = _w(rng, 16, 8)
+        st[f"{b}.mlp.fc1.bias"] = _w(rng, 16)
+        st[f"{b}.mlp.fc2.weight"] = _w(rng, 8, 16)
+        st[f"{b}.mlp.fc2.bias"] = _w(rng, 8)
     os.makedirs(os.path.join(root, "text_encoder_2"), exist_ok=True)
     with open(os.path.join(root, "text_encoder_2", "config.json"), "w") as f:
         json.dump(c2, f)
