@@ -57,6 +57,32 @@ def _xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v, precision=precision)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _xla_attention_residuals(q, k, v, scale, kv_len=None):
+    """XLA attention that also returns the base-2 row log-sum-exp — the
+    reference/CPU counterpart of ``flash_attention(return_residuals=True)``
+    for ring-attention partial-output merging. Non-causal, unbiased (the DiT
+    self/joint attention surface sequence parallelism serves)."""
+    precision = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    s = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32, precision=precision)
+        * (scale * _LOG2E)
+    )
+    if kv_len is not None:
+        col = jnp.arange(k.shape[-2])
+        mask = col[None, :] < kv_len[:, None]
+        s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)  # fully masked rows
+    p = jnp.exp2(s - m_safe)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", (p / jnp.where(l == 0.0, 1.0, l)).astype(v.dtype), v, precision=precision)
+    lse = m_safe[..., 0] + jnp.log2(l[..., 0])  # -inf where l == 0
+    return o, lse
+
+
 _IMPL_OVERRIDE: Optional[str] = None
 _INT8_QK = False
 
@@ -116,11 +142,15 @@ def set_attention_impl(impl: Optional[str]) -> None:
 # instead of all-to-all) — the right trade at DiT sequence lengths, where
 # K/V (~MBs) are tiny next to the logits (~GBs).
 
-_MESH_CTX = None  # (mesh, batch_axis, head_axis, seq_axis)
+_MESH_CTX = None  # (mesh, batch_axis, head_axis, seq_axis, seq_mode)
 
 
 def set_attention_mesh(
-    mesh, batch_axis: str = "dp", head_axis: str = "tp", seq_axis: Optional[str] = None
+    mesh,
+    batch_axis: str = "dp",
+    head_axis: str = "tp",
+    seq_axis: Optional[str] = None,
+    seq_mode: str = "gather",
 ) -> None:
     """Route subsequent attention calls through ``shard_map`` over ``mesh``.
 
@@ -128,9 +158,16 @@ def set_attention_mesh(
     ``seq_axis`` names a mesh axis) query tokens over ``seq_axis``; each
     shard runs the fused Pallas kernel (TPU meshes) or the XLA reference
     (CPU meshes) on its local slab. Pass ``None`` to clear.
+
+    ``seq_mode`` picks the self-attention KV strategy under sequence
+    parallelism: ``"gather"`` all-gathers K/V per shard (one collective, KV
+    replicated in memory); ``"ring"`` keeps K/V sequence-sharded and rotates
+    chunks around the ``seq_axis`` ring with ``ppermute``, merging partial
+    outputs by log-sum-exp — peak KV memory drops from O(S) to O(S/sp) per
+    chip and the permutes overlap chunk compute (ring attention).
     """
     global _MESH_CTX
-    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis)
+    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis, seq_mode)
 
 
 def get_attention_mesh():
@@ -139,25 +176,92 @@ def get_attention_mesh():
 
 @contextlib.contextmanager
 def attention_mesh_scope(
-    mesh, batch_axis: str = "dp", head_axis: str = "tp", seq_axis: Optional[str] = None
+    mesh,
+    batch_axis: str = "dp",
+    head_axis: str = "tp",
+    seq_axis: Optional[str] = None,
+    seq_mode: str = "gather",
 ):
     """Scoped :func:`set_attention_mesh` — active only while tracing the
     sampler's DiT, so text/image encoders (whose batches don't live on the
     mesh) keep the ordinary single-device dispatch."""
     global _MESH_CTX
     prev = _MESH_CTX
-    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis)
+    _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis, seq_mode)
     try:
         yield
     finally:
         _MESH_CTX = prev
 
 
+def _ring_merge(o_a, lse_a, o_b, lse_b):
+    """Merge two normalized partial attention outputs with base-2 lse weights.
+    Handles fully-masked chunks (lse = -inf) without NaNs."""
+    m = jnp.maximum(lse_a, lse_b)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    w_a = jnp.exp2(lse_a - m_safe)
+    w_b = jnp.exp2(lse_b - m_safe)
+    den = w_a + w_b
+    den_safe = jnp.where(den == 0.0, 1.0, den)
+    o = (o_a * w_a[..., None] + o_b * w_b[..., None]) / den_safe[..., None]
+    return o, m_safe + jnp.log2(den)  # log2(0) = -inf keeps masked rows masked
+
+
+def _ring_attention_local(q, k, v, kv_len, *, scale, stable, axis, sp, use_pallas):
+    """Per-shard ring attention body (runs inside shard_map).
+
+    K/V stay sequence-sharded: each of the ``sp`` rounds computes flash
+    attention of the local queries against the currently-held KV chunk
+    (returning the base-2 row lse) and rotates the chunk one step around the
+    ``axis`` ring with ``ppermute``. Partial outputs merge by lse weights —
+    exact online-softmax associativity, like the chunk loop inside the flash
+    kernel itself, lifted one level up to ICI. The next chunk's permute is
+    issued BEFORE the current chunk's compute so XLA's latency-hiding
+    scheduler overlaps communication with the matmuls.
+
+    vs ``"gather"``: peak KV memory per chip drops from O(S) to O(S/sp) and
+    no all-gather buffer materializes; the price is sp kernel launches and
+    the (overlapped) permutes. ``kv_len`` masking is translated into each
+    chunk's local coordinates."""
+    chunk = k.shape[2]
+    idx = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+    def inner(k_c, v_c, kvl):
+        if use_pallas:
+            return flash_attention(
+                q, k_c, v_c, scale=scale, kv_len=kvl, stable=stable, return_residuals=True
+            )
+        return _xla_attention_residuals(q, k_c, v_c, scale, kv_len=kvl)
+
+    o = lse = None
+    k_cur, v_cur = k, v
+    for r in range(sp):
+        if r < sp - 1:
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        src = (idx - r) % sp  # original owner of the chunk currently held
+        kvl = (
+            None
+            if kv_len is None
+            else jnp.clip(kv_len - src * chunk, 0, chunk).astype(jnp.int32)
+        )
+        o_r, lse_r = inner(k_cur, v_cur, kvl)
+        o_r = o_r.astype(jnp.float32)
+        if o is None:
+            o, lse = o_r, lse_r
+        else:
+            o, lse = _ring_merge(o, lse, o_r, lse_r)
+        if r < sp - 1:
+            k_cur, v_cur = k_nxt, v_nxt
+    return o.astype(q.dtype)
+
+
 def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    mesh, ba, ha, sa = _MESH_CTX
+    mesh, ba, ha, sa, seq_mode = _MESH_CTX
     dp = mesh.shape[ba] if ba in mesh.shape else 1
     tp = mesh.shape[ha] if ha in mesh.shape else 1
     sp = mesh.shape[sa] if (sa is not None and sa in mesh.shape) else 1
@@ -201,8 +305,15 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
         args.append(kv_len)
 
     gather_kv = sp > 1 and not cross
+    ring_kv = gather_kv and seq_mode == "ring"
 
     def local(q, k, v, kv_len=None):
+        if ring_kv:
+            # KV stays sequence-sharded; chunks rotate around the sp ring
+            return _ring_attention_local(
+                q, k, v, kv_len, scale=scale, stable=stable, axis=sa, sp=sp,
+                use_pallas=use_pallas,
+            )
         if gather_kv:
             # keys/values live sequence-sharded between layers; gather the
             # full KV per shard over ICI (tiny next to the [Sq/sp, Sk] logits)

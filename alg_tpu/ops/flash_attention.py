@@ -86,6 +86,7 @@ def _fwd_kernel(
     norm_refs,  # (q_scale, [q_bias], k_scale, [k_bias]) each [1, d], or ()
     rope_refs,  # (cos_q [bq, d], sin_q, cos_k [bk, d], sin_k) or ()
     o_ref,  # [1, bq, d]
+    lse_ref,  # [1, bq, 128] f32 (broadcast lanes) or None
     scratch,  # dict: acc [bq, d_acc] f32; m [bq,128] if stable; l if not fused; qt [bq, d] if prolog
     *,
     scale: float,
@@ -260,6 +261,15 @@ def _fwd_kernel(
             l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:, :d] / safe_l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # base-2 log-sum-exp of the (scaled) logits row: the residual a
+            # ring/sequence-parallel caller needs to merge partial outputs
+            # (exp2-weighted). Fully-masked rows give -inf; the stable path's
+            # running max is already in base-2 units.
+            lse = jnp.log2(l)
+            if stable:
+                lse = lse + m_scr[:, :1]
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
 def _aligned_block(s: int, lo: int = 512, hi: int = 2048) -> int:
@@ -285,7 +295,7 @@ def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "block_q", "block_k", "stable", "qk_norm", "norm_eps", "prolog_k"),
+    static_argnames=("scale", "causal", "block_q", "block_k", "stable", "qk_norm", "norm_eps", "prolog_k", "return_residuals"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -307,12 +317,18 @@ def flash_attention(
     rope_cos: Optional[jnp.ndarray] = None,  # [S, d] (S >= Sk)
     rope_sin: Optional[jnp.ndarray] = None,
     prolog_k: bool = True,
+    return_residuals: bool = False,
 ) -> jnp.ndarray:
     """Flash attention over ``[B, H, S, D]``. Sequence dims are zero-padded
     to block multiples; padded keys are handled masklessly by the fused
     path's valid-row ones column, padded queries are sliced off. Optional
     fused qk prolog: per-head ``qk_norm`` then RoPE applied in-kernel (tables
-    shared by q and k — self-attention positions)."""
+    shared by q and k — self-attention positions).
+
+    ``return_residuals=True`` additionally returns the per-row base-2
+    log-sum-exp of the scaled logits, ``[B, H, Sq]`` f32 (-inf on fully
+    masked rows) — what a ring-attention caller needs to exp2-merge partial
+    outputs across KV chunks."""
     b, h, sq_orig, d = q.shape
     sk_orig = k.shape[2]
     # Explicit caller block sizes are honored verbatim; auto-selection below
@@ -473,21 +489,37 @@ def flash_attention(
         i += n_rope
         o_ref = refs[i]
         i += 1
+        lse_ref = None
+        if return_residuals:
+            lse_ref = refs[i]
+            i += 1
         scratch = dict(zip(scratch_keys, refs[i:]))
-        return kernel(kv_len_ref, q_ref, k_ref, v_ref, bias_ref, norm_refs, rope_refs, o_ref, scratch)
+        return kernel(
+            kv_len_ref, q_ref, k_ref, v_ref, bias_ref, norm_refs, rope_refs, o_ref, lse_ref, scratch
+        )
+
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, _kv: (bh, qi, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)]
+    if return_residuals:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 128), lambda bh, qi, ki, _kv: (bh, qi, 0), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h, nq, sk // block_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, _kv: (bh, qi, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
 
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -498,4 +530,10 @@ def flash_attention(
         ),
     )(kv_len_arr, *operands)
 
-    return out.reshape(b, h, sq, d)[:, :, :sq_orig]
+    if return_residuals:
+        o, lse = out
+        return (
+            o.reshape(b, h, sq, d)[:, :, :sq_orig],
+            lse.reshape(b, h, sq, 128)[:, :, :sq_orig, 0],
+        )
+    return out[0].reshape(b, h, sq, d)[:, :, :sq_orig]

@@ -81,6 +81,10 @@ class WanPipeline:
     dtype: Any = jnp.float32
     # multi-chip: mesh for shard_map'd fused attention inside the sampler
     attn_mesh: Any = None
+    # sequence-parallel KV strategy when the mesh has an sp axis: "gather"
+    # (all-gathered KV) or "ring" (KV chunks rotate via ppermute — ring
+    # attention; O(S/sp) peak KV memory per chip)
+    sp_mode: str = "gather"
     # explicit VAE-encode tiling toggle (reference ``enable_vae_tiling``
     # analog): True/False forces it; None = tile only multi-frame clips that
     # are a real HBM risk (see models/vae_tiling.auto_tile_encode)
@@ -566,7 +570,7 @@ class WanPipeline:
         from alg_tpu.ops.attention import attention_mesh_scope
 
         ctx = (
-            attention_mesh_scope(self.attn_mesh, seq_axis="sp")
+            attention_mesh_scope(self.attn_mesh, seq_axis="sp", seq_mode=self.sp_mode)
             if self.attn_mesh is not None
             else contextlib.nullcontext()
         )

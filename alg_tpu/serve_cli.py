@@ -133,7 +133,7 @@ def serve(args):
         )
 
     logger.info("Starting batched generation (%d requests)...", len(requests))
-    videos = serve_batch(pipe, requests, mesh=mesh, **gen_kwargs)
+    videos = serve_batch(pipe, requests, mesh=mesh, sp_mode=args.sp_mode, **gen_kwargs)
 
     os.makedirs(args.output_dir, exist_ok=True)
     for name, frames in zip(outputs, videos):
@@ -154,6 +154,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (prompts)")
     parser.add_argument("--sp", type=int, default=1, help="sequence-parallel mesh axis (DiT tokens)")
+    parser.add_argument(
+        "--sp_mode", type=str, choices=("gather", "ring"), default="gather",
+        help="sequence-parallel KV strategy: gather = all-gathered KV; "
+        "ring = ring attention (KV chunks rotate via ppermute, O(S/sp) peak "
+        "KV memory per chip)",
+    )
     parser.add_argument(
         "--tp", type=int, default=0,
         help="tensor-parallel mesh axis (0 = fill remaining devices when any mesh flag is set)",

@@ -135,20 +135,22 @@ def serve_batch(
     pipeline,
     requests: Sequence[BatchRequest],
     mesh: Optional[Mesh] = None,
+    sp_mode: str = "gather",
     **gen_kwargs,
 ) -> List[Any]:
     """Run a batch of I2V requests through one pipeline invocation.
 
     Per-request seeds drive per-sample noise (torch-order within each sample);
     prompts are encoded as a batch. Passing a ``mesh`` arms the pipeline via
-    :func:`shard_pipeline` (no-op if it is already armed with that mesh); the
-    batch then lays out along the ``dp`` axis and the DiT runs TP/SP-sharded.
+    :func:`shard_pipeline` (no-op if it is already armed with that mesh and
+    ``sp_mode``); the batch then lays out along the ``dp`` axis and the DiT
+    runs TP/SP-sharded (``sp_mode``: "gather" | "ring", see shard_pipeline).
     """
     family = type(pipeline).__name__
     if family not in _ENCODERS:
         raise ValueError(f"Unsupported pipeline type for serving: {family}")
-    if mesh is not None and pipeline.attn_mesh is not mesh:
-        pipeline = shard_pipeline(pipeline, mesh)
+    if mesh is not None and (pipeline.attn_mesh is not mesh or pipeline.sp_mode != sp_mode):
+        pipeline = shard_pipeline(pipeline, mesh, sp_mode=sp_mode)
 
     n = len(requests)
     def_h, def_w = _DEFAULT_HW[family]
@@ -183,7 +185,7 @@ def serve_batch(
     return out
 
 
-def shard_pipeline(pipeline, mesh: Mesh):
+def shard_pipeline(pipeline, mesh: Mesh, sp_mode: str = "gather"):
     """Place a pipeline's DiT on the mesh (dp×sp×tp) and return a copy.
 
     Works for all three backbones — the partition specs are selected by
@@ -191,9 +193,11 @@ def shard_pipeline(pipeline, mesh: Mesh):
     once inputs are placed; XLA GSPMD inserts the TP collectives from the
     weight layout; attention inside the sampler runs through a shard_map'd
     fused kernel (``attn_mesh``). A mesh with a non-unit ``sp`` axis
-    additionally shards the DiT query tokens in attention (all-gathered KV —
-    long-context relief); the joint sequence length must be divisible by
-    ``sp``.
+    additionally shards the DiT query tokens in attention (long-context
+    relief); the joint sequence length must be divisible by ``sp``.
+    ``sp_mode`` picks the KV strategy under sp: ``"gather"`` (all-gathered
+    KV) or ``"ring"`` (ring attention — KV chunks rotate via ppermute,
+    O(S/sp) peak KV memory per chip).
     """
     import dataclasses as _dc
 
@@ -215,4 +219,4 @@ def shard_pipeline(pipeline, mesh: Mesh):
         pipeline.transformer_params,
         specs,
     )
-    return _dc.replace(pipeline, transformer_params=sharded, attn_mesh=mesh)
+    return _dc.replace(pipeline, transformer_params=sharded, attn_mesh=mesh, sp_mode=sp_mode)

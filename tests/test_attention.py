@@ -158,3 +158,68 @@ def test_vmem_capped_aligned_blocks_numerics(stable, rng):
         flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, stable=stable)
     )
     np.testing.assert_allclose(out, _np_ref(q, k, v, scale), atol=2e-3)
+
+
+def _np_lse2(q, k, scale, kv_len=None):
+    """Base-2 row log-sum-exp of the scaled logits (float64)."""
+    l = np.einsum("bhqd,bhkd->bhqk", q.astype(np.float64), k.astype(np.float64)) * scale
+    if kv_len is not None:
+        m = np.arange(k.shape[2])[None, :] < kv_len[:, None]
+        l = np.where(m[:, None, None, :], l, -np.inf)
+    mx = l.max(-1)
+    mx_safe = np.where(np.isneginf(mx), 0.0, mx)
+    s = np.exp(l - mx_safe[..., None]).sum(-1)
+    with np.errstate(divide="ignore"):
+        return (mx_safe + np.log(s)) * np.log2(np.e)  # -inf where s == 0
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_return_residuals_lse(stable, rng):
+    """return_residuals: the second output is the base-2 row lse the ring-
+    attention merge consumes; the first output must equal the plain call."""
+    q, k, v = _qkv(rng, 2, 2, 300, 300, 64)
+    scale = 64**-0.5
+    o_plain = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, stable=stable))
+    o, lse = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, stable=stable, return_residuals=True
+    )
+    np.testing.assert_array_equal(np.asarray(o), o_plain)
+    assert lse.shape == (2, 2, 300)
+    np.testing.assert_allclose(np.asarray(lse), _np_lse2(q, k, scale), rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_return_residuals_kv_len_and_fully_masked(stable, rng):
+    """kv_len composes with residuals. A fully masked batch row (kv_len=0 —
+    a ring chunk entirely beyond the joint sequence) must come out with an
+    lse so small that the ring merge zero-weights it against any chunk that
+    saw at least one real key: the fast path gives exactly (o=0, lse=-inf);
+    the stable path's running max bottoms out at -1e30, so its lse is ~-1e30
+    and its (unnormalized-garbage) output carries weight exp2(-1e30-m) == 0.
+    A GLOBALLY all-masked query row is the one unsupported case (never occurs:
+    the joint sequence always has >= 1 valid key)."""
+    q, k, v = _qkv(rng, 2, 2, 256, 256, 64)
+    scale = 64**-0.5
+    kv_len = np.array([120, 0], np.int32)
+    o, lse = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale,
+        kv_len=jnp.asarray(kv_len), stable=stable, return_residuals=True,
+    )
+    o, lse = np.asarray(o), np.asarray(lse)
+    ref_lse = _np_lse2(q, k, scale, kv_len=kv_len)
+    np.testing.assert_allclose(lse[0], ref_lse[0], rtol=2e-5, atol=2e-4)
+    assert (lse[1] <= -1e29).all()
+    if not stable:
+        assert np.isneginf(lse[1]).all()
+        assert (o[1] == 0).all()
+
+    # the merge contract: a masked chunk contributes nothing
+    from alg_tpu.ops.attention import _ring_merge
+
+    real_o = jnp.asarray(np.random.RandomState(0).randn(*o[1:2].shape).astype(np.float32))
+    real_lse = jnp.asarray(np.full(lse[1:2].shape, 3.0, np.float32))
+    merged_o, merged_lse = _ring_merge(
+        real_o, real_lse, jnp.asarray(o[1:2], jnp.float32), jnp.asarray(lse[1:2])
+    )
+    np.testing.assert_array_equal(np.asarray(merged_o), np.asarray(real_o))
+    np.testing.assert_array_equal(np.asarray(merged_lse), np.asarray(real_lse))

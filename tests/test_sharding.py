@@ -696,3 +696,101 @@ def test_w4_row_parallel_misalignment_raises():
         mesh = make_mesh(dp=2, tp=4, devices=cpus)
         with pytest.raises(ValueError, match="W4A8 row-parallel"):
             shard_params(qp, cogvideox_transformer_specs(qp), mesh)
+
+
+def test_ring_attention_matches_unsharded():
+    """Ring-attention SP (KV chunks rotated via ppermute, lse-merged partial
+    outputs) must match the unsharded result — dense and kv_len-masked,
+    including a chunk that is fully masked for one batch row."""
+    from alg_tpu.ops.attention import attention, attention_mesh_scope, set_attention_impl
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+
+    set_attention_impl("xla")
+    try:
+        ref = attention(q, k, v)
+        for dp, sp, tp in ((2, 2, 2), (1, 4, 2)):
+            mesh = make_mesh(dp=dp, sp=sp, tp=tp, devices=cpus[: dp * sp * tp])
+            with mesh, attention_mesh_scope(mesh, seq_axis="sp", seq_mode="ring"):
+                out = attention(q, k, v)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        # kv_len: batch 0 sees only 20 keys → with sp=4 (16-key chunks) the
+        # second..fourth chunks are partially/fully masked for that row
+        kv_len = jnp.asarray(np.array([20, 64], np.int32))
+        ref2 = attention(q, k, v, kv_len=kv_len)
+        mesh = make_mesh(dp=1, sp=4, tp=2, devices=cpus)
+        with mesh, attention_mesh_scope(mesh, seq_axis="sp", seq_mode="ring"):
+            out2 = attention(q, k, v, kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
+        assert np.isfinite(np.asarray(out2)).all()
+    finally:
+        set_attention_impl(None)
+
+
+def test_ring_sp_serving_matches_gather():
+    """Full serve_batch with sp_mode="ring" equals sp_mode="gather" equals
+    unsharded — the whole sampler runs with ring attention in the DiT."""
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        CogVideoXVAEConfig,
+        init_cogvideox_transformer,
+        init_cogvideox_vae,
+    )
+    from alg_tpu.ops.attention import set_attention_impl
+    from alg_tpu.pipelines import CogVideoXPipeline
+    from alg_tpu.serving import BatchRequest, serve_batch, shard_pipeline
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    with jax.default_device(cpus[0]):
+        tcfg = CogVideoXTransformerConfig(
+            num_attention_heads=4,
+            attention_head_dim=16,
+            in_channels=8,
+            out_channels=4,
+            time_embed_dim=16,
+            text_embed_dim=12,
+            num_layers=2,
+            sample_height=4,
+            sample_width=4,
+            max_text_seq_length=4,
+        )
+        vcfg = CogVideoXVAEConfig(
+            block_out_channels=(8, 16, 16, 32), latent_channels=4, layers_per_block=1, norm_num_groups=4
+        )
+        pipe = CogVideoXPipeline(
+            transformer_cfg=tcfg,
+            transformer_params=init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg),
+            vae_cfg=vcfg,
+            vae_params=init_cogvideox_vae(jax.random.PRNGKey(1), vcfg),
+        )
+        pipe.encode_prompt = lambda prompts, max_len=226: jnp.asarray(
+            np.random.RandomState(3).randn(len(prompts), 4, 12).astype(np.float32)
+        )
+        rng = np.random.RandomState(7)
+        reqs = [
+            BatchRequest(prompt="a", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=42),
+            BatchRequest(prompt="b", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=7),
+        ]
+        kwargs = dict(height=32, width=32, num_frames=5, num_inference_steps=2,
+                      guidance_scale=6.0, output_type="latent", max_sequence_length=4)
+
+        set_attention_impl("xla")
+        try:
+            ref = serve_batch(pipe, reqs, **kwargs)
+            mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+            pipe_sh = shard_pipeline(pipe, mesh, sp_mode="ring")
+            assert pipe_sh.sp_mode == "ring"
+            pipe_sh.encode_prompt = pipe.encode_prompt
+            with mesh:
+                out = serve_batch(pipe_sh, reqs, sp_mode="ring", **kwargs)
+        finally:
+            set_attention_impl(None)
+        assert out.shape == (2, 2, 4, 4, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
