@@ -56,8 +56,10 @@ def run(args):
     import jax
 
     from alg_tpu.core.config import load_run_config
+    from alg_tpu.core.device import enable_compilation_cache
     from alg_tpu.io.video import write_video
 
+    enable_compilation_cache()
     cfg = load_run_config(args.config)
     logger.info("Using device: %s", jax.devices()[0])
 

@@ -143,3 +143,19 @@ def streamed_stack(blocks: List[dict]):
             flat[b][li] = None  # free the original
         stacked.append(s)
     return jax.tree_util.tree_unflatten(treedef, stacked)
+
+
+def enable_compilation_cache(default_dir: str = "~/.cache/alg_tpu/xla_cache") -> str:
+    """Turn on JAX's persistent compilation cache for the CLIs.
+
+    First compiles of the full-scale samplers cost 20-40 s each; the cache
+    makes every later invocation of the same config start hot. Honors an
+    explicit ``JAX_COMPILATION_CACHE_DIR``; otherwise uses ``default_dir``.
+    Returns the directory used."""
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser(default_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even fast-compiling programs: the tunnel round-trip, not local
+    # compile time, dominates cold starts
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path

@@ -75,9 +75,11 @@ def serve(args):
 
     from alg_tpu.cli import load_pipeline
     from alg_tpu.core.config import load_run_config
+    from alg_tpu.core.device import enable_compilation_cache
     from alg_tpu.io.video import write_video
     from alg_tpu.serving import serve_batch
 
+    enable_compilation_cache()
     cfg = load_run_config(args.config)
     logger.info("Devices: %d × %s", len(jax.devices()), jax.devices()[0].platform)
 
