@@ -11,7 +11,8 @@ its ICI mesh sharding) on the command line:
 ``requests.jsonl`` holds one JSON object per line::
 
     {"prompt": "...", "image_path": "a.png",
-     "negative_prompt": "...", "seed": 7, "output": "bus.mp4"}
+     "negative_prompt": "...", "seed": 7, "output": "bus.mp4",
+     "last_image_path": "z.png"}   # optional, Wan FLF2V
 
 ``negative_prompt`` defaults to ``""``, ``seed`` to 42 (the reference's fixed
 seed, ``run.py:94``), ``output`` to ``{index:03d}.mp4``. Generation/ALG
@@ -54,6 +55,12 @@ def load_requests(path):
                     image=Image.open(obj["image_path"]).convert("RGB"),
                     negative_prompt=obj.get("negative_prompt"),
                     seed=int(obj.get("seed", 42)),
+                    # FLF2V (Wan): also condition the final frame
+                    last_image=(
+                        Image.open(obj["last_image_path"]).convert("RGB")
+                        if obj.get("last_image_path")
+                        else None
+                    ),
                 )
             )
             outputs.append(obj.get("output", f"{idx:03d}.mp4"))

@@ -38,6 +38,10 @@ class BatchRequest:
     image: Any  # PIL image / preprocessed array
     negative_prompt: Optional[str] = None
     seed: int = 42
+    # FLF2V (Wan only): condition the LAST frame too (reference
+    # ``...wan...py:403-412``). All requests in a batch must agree on
+    # presence (the 20-ch mask/condition layout differs).
+    last_image: Any = None
 
 
 def _preprocess_images(requests, height, width) -> np.ndarray:
@@ -157,6 +161,27 @@ def serve_batch(
     height = gen_kwargs.get("height") or def_h
     width = gen_kwargs.get("width") or def_w
     images = _preprocess_images(requests, height, width)
+
+    n_last = sum(r.last_image is not None for r in requests)
+    if n_last:
+        if family != "WanPipeline":
+            raise ValueError("last_image (FLF2V) is only supported by the Wan pipeline")
+        if n_last != n:
+            raise ValueError(
+                "last_image must be set on ALL requests in a batch or on none "
+                "(the mask/condition layout differs)"
+            )
+        from alg_tpu.pipelines import processing as _proc
+
+        gen_kwargs["last_image"] = np.concatenate(
+            [
+                _proc.preprocess_image(r.last_image, height, width)
+                if not isinstance(r.last_image, np.ndarray)
+                else np.asarray(r.last_image, np.float32)
+                for r in requests
+            ],
+            axis=0,
+        )
 
     encoded = _ENCODERS[family](pipeline, requests, gen_kwargs)
 

@@ -254,3 +254,21 @@ def test_run_cli_hunyuan_end_to_end(setup_hunyuan, tmp_path):
     out = [p for p in tmp_path.iterdir() if p.stem == "hy"]
     assert out and out[0].stat().st_size > 0
     assert "Run complete" in proc.stdout
+
+
+def test_serve_cli_wan_flf2v(setup_wan, tmp_path):
+    """last_image_path in a request JSONL routes through the FLF2V path."""
+    from PIL import Image
+
+    root, cfg, _ = setup_wan
+    last = root / "last.png"
+    Image.fromarray((np.random.RandomState(9).rand(32, 32, 3) * 255).astype(np.uint8)).save(last)
+    reqs = tmp_path / "flf2v.jsonl"
+    reqs.write_text(json.dumps({
+        "prompt": "a red bus", "image_path": str(root / "input.png"),
+        "last_image_path": str(last), "seed": 5, "output": "flf.mp4",
+    }))
+    proc = _run(cfg, reqs, tmp_path / "out")
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    written = [p for p in (tmp_path / "out").iterdir() if p.stem == "flf"]
+    assert written and written[0].stat().st_size > 0

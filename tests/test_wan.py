@@ -302,3 +302,53 @@ def test_wan_flf2v_last_image(wan_pipe):
     )
     assert video.shape == (1, 9, 32, 32, 3)
     assert np.isfinite(video).all()
+
+
+def test_wan_flf2v_batched_serving(wan_pipe):
+    """Per-request FLF2V through serve_batch: each request carries its own
+    last_image; rows of a batch-2 serve equal the corresponding batch-1
+    serves (deterministic per-prompt/image stubs + per-request seeds), and
+    presence must be all-or-none / Wan-only."""
+    from alg_tpu.serving import BatchRequest, serve_batch
+
+    def stub_prompt(prompts, max_len=512):
+        return jnp.asarray(
+            np.stack(
+                [np.random.RandomState(len(p) * 7 + 1).randn(7, 8) for p in prompts]
+            ).astype(np.float32)
+        )
+
+    def stub_image(image):
+        seed = int(abs(float(np.asarray(image).sum())) * 997) % (2**31)
+        return jnp.asarray(np.random.RandomState(seed).randn(1, 5, 10).astype(np.float32))
+
+    wan_pipe.encode_prompt = stub_prompt
+    wan_pipe.encode_image = stub_image
+    if wan_pipe.clip_params is None:
+        wan_pipe.clip_params = {}  # sentinel: serving calls the stubbed encode_image
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1 for _ in range(2)]
+    lasts = [rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1 for _ in range(2)]
+    reqs = [
+        BatchRequest(prompt="aa", image=imgs[0], seed=42, last_image=lasts[0]),
+        BatchRequest(prompt="bbb", image=imgs[1], seed=7, last_image=lasts[1]),
+    ]
+    kwargs = dict(height=32, width=32, num_frames=9, num_inference_steps=2,
+                  guidance_scale=5.0, output_type="latent")
+
+    batch2 = np.asarray(serve_batch(wan_pipe, reqs, **kwargs))
+    single0 = np.asarray(serve_batch(wan_pipe, reqs[:1], **kwargs))
+    single1 = np.asarray(serve_batch(wan_pipe, reqs[1:], **kwargs))
+    assert batch2.shape == (2, 4, 3, 4, 4)
+    np.testing.assert_allclose(batch2[0], single0[0], atol=1e-5)
+    np.testing.assert_allclose(batch2[1], single1[0], atol=1e-5)
+
+    # FLF2V conditioning must actually change the result
+    no_last = [BatchRequest(prompt=r.prompt, image=r.image, seed=r.seed) for r in reqs]
+    plain = np.asarray(serve_batch(wan_pipe, no_last, **kwargs))
+    assert not np.allclose(plain, batch2)
+
+    # mixed presence rejected
+    with pytest.raises(ValueError, match="ALL requests"):
+        serve_batch(wan_pipe, [reqs[0], no_last[1]], **kwargs)
