@@ -142,7 +142,19 @@ def serve(args):
         )
 
     logger.info("Starting batched generation (%d requests)...", len(requests))
-    videos = serve_batch(pipe, requests, mesh=mesh, sp_mode=args.sp_mode, **gen_kwargs)
+    if args.profile_dir:
+        import contextlib
+
+        from alg_tpu.utils.profiling import trace_to
+
+        prof_ctx = trace_to(args.profile_dir)
+        logger.info("Profiling to %s (view with TensorBoard/xprof)", args.profile_dir)
+    else:
+        import contextlib
+
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        videos = serve_batch(pipe, requests, mesh=mesh, sp_mode=args.sp_mode, **gen_kwargs)
 
     os.makedirs(args.output_dir, exist_ok=True)
     for name, frames in zip(outputs, videos):
@@ -172,6 +184,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--tp", type=int, default=0,
         help="tensor-parallel mesh axis (0 = fill remaining devices when any mesh flag is set)",
+    )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="write a jax.profiler trace of the batched generation here "
+        "(TensorBoard/xprof format)",
     )
     parser.add_argument(
         "--multihost", action="store_true",
