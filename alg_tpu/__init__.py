@@ -20,3 +20,36 @@ Design highlights (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+_TOP_LEVEL = {
+    # serving surface
+    "BatchRequest": ("alg_tpu.serving", "BatchRequest"),
+    "serve_batch": ("alg_tpu.serving", "serve_batch"),
+    "shard_pipeline": ("alg_tpu.serving", "shard_pipeline"),
+    # loading
+    "load_pipeline": ("alg_tpu.cli", "load_pipeline"),
+    "load_run_config": ("alg_tpu.core.config", "load_run_config"),
+    # pipelines
+    "CogVideoXPipeline": ("alg_tpu.pipelines", "CogVideoXPipeline"),
+    "WanPipeline": ("alg_tpu.pipelines", "WanPipeline"),
+    "HunyuanVideoPipeline": ("alg_tpu.pipelines", "HunyuanVideoPipeline"),
+    # mesh
+    "make_mesh": ("alg_tpu.sharding", "make_mesh"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports — keep `import alg_tpu` light (no jax-heavy
+    submodule import until a symbol is actually used)."""
+    try:
+        module, attr = _TOP_LEVEL[name]
+    except KeyError:
+        raise AttributeError(f"module 'alg_tpu' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_TOP_LEVEL))
