@@ -206,6 +206,13 @@ class CogVideoXPipeline:
         # arg fingerprint resumes the denoise loop bitwise-identically
         checkpoint=None,
         checkpoint_every: int = 8,
+        # beyond-parity accelerator (cf. DeepCache/FORA-style step caching):
+        # run the full DiT forward only every ``cache_interval``-th step and
+        # reuse the previous prediction on the others (ALG-active 3-pass
+        # steps and the final step are always computed). 1 = exact (default).
+        # >1 trades fidelity for ~cache_interval× fewer DiT FLOPs — an
+        # approximation; validate per checkpoint like the int8 modes.
+        cache_interval: int = 1,
         # --- ALG kwargs (reference surface, :753-773) ---
         use_low_pass_guidance: bool = False,
         lp_filter_type: str = "none",
@@ -240,6 +247,9 @@ class CogVideoXPipeline:
 
         do_cfg = guidance_scale > 1.0
         noise = noise_source or NoiseSource(seed=seed)
+        cache_interval = int(cache_interval)
+        if cache_interval < 1:
+            raise ValueError(f"cache_interval must be >= 1, got {cache_interval}")
 
         if checkpoint is not None:
             from alg_tpu.io.runstate import as_checkpoint, run_fingerprint
@@ -260,6 +270,7 @@ class CogVideoXPipeline:
                     eta=eta,
                     timesteps=timesteps,
                     scheduler=self.scheduler,
+                    cache_interval=cache_interval,
                     alg=(
                         use_low_pass_guidance,
                         lp_filter_type,
@@ -424,6 +435,7 @@ class CogVideoXPipeline:
             patch_size_t=patch_size_t,
             step_observer=step_observer,
             checkpoint=checkpoint,
+            cache_interval=cache_interval,
         )
 
         if output_type == "latent":
@@ -454,11 +466,13 @@ class CogVideoXPipeline:
         patch_size_t=None,
         step_observer=None,
         checkpoint=None,
+        cache_interval: int = 1,
     ):
         tcfg = self.transformer_cfg
         use_dpm = self.scheduler == "dpm"
         alg = lp_plan.active
         pixel_mode = pixel_image is not None
+        use_cache = cache_interval > 1
 
         if do_cfg:
             embeds2 = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
@@ -537,30 +551,57 @@ class CogVideoXPipeline:
         g_np = np.asarray(g_table, np.float32)
         ts_np = np.asarray(sched_plan.timesteps)
 
+        # step-cache schedule (beyond-parity, cache_interval > 1): full DiT
+        # forward on every cache_interval-th step, the final step, and every
+        # ALG-active 3-pass step; cached steps reuse the previous prediction
+        # through the carry. Host-side static table → runtime lax.cond, so
+        # skipped steps execute none of the DiT.
+        if use_cache:
+            n_steps = len(ts_np)
+            compute_np = np.zeros(n_steps, bool)
+            compute_np[::cache_interval] = True
+            compute_np[-1] = True
+            if alg:
+                # any nonzero-strength step carries a per-step filtered
+                # conditioning (3-pass, or 2-pass under the exponential
+                # shortcut) — always compute those
+                compute_np[np.asarray(lp_plan.strengths) != 0.0] = True
+
         def step_fn(carry, i, three_pass: bool, data):
-            latents, old_pred = carry
+            if use_cache:
+                latents, old_pred, prev_pred = carry
+            else:
+                latents, old_pred = carry
+                prev_pred = None
             t = jnp.asarray(ts_np)[i]
             g = jnp.asarray(g_np)[i]
-            cond = lp_condition(i, data)
             tparams = data["tparams"]
             ofs_arr = data["ofs"]
 
-            if not do_cfg:
-                noise_pred = dit(tparams, latents, cond, data["embeds2"], t, ofs_arr)
-            elif three_pass:
-                b = latents.shape[0]
-                lat_in = jnp.concatenate([latents] * 3, axis=0)
-                cond_in = jnp.concatenate([data["image_latents"], cond, cond], axis=0)
-                pred = dit(tparams, lat_in, cond_in, data["embeds3"], t, ofs_arr)
-                uncond_init, uncond, text = pred[:b], pred[b : 2 * b], pred[2 * b :]
-                noise_pred = uncond_init + g * (text - uncond)
-            else:
+            def predict(_):
+                cond = lp_condition(i, data)
+                if not do_cfg:
+                    return dit(tparams, latents, cond, data["embeds2"], t, ofs_arr)
+                if three_pass:
+                    b = latents.shape[0]
+                    lat_in = jnp.concatenate([latents] * 3, axis=0)
+                    cond_in = jnp.concatenate([data["image_latents"], cond, cond], axis=0)
+                    pred = dit(tparams, lat_in, cond_in, data["embeds3"], t, ofs_arr)
+                    uncond_init, uncond, text = pred[:b], pred[b : 2 * b], pred[2 * b :]
+                    return uncond_init + g * (text - uncond)
                 b = latents.shape[0]
                 lat_in = jnp.concatenate([latents] * 2, axis=0)
                 cond_in = jnp.concatenate([cond, cond], axis=0)
                 pred = dit(tparams, lat_in, cond_in, data["embeds2"], t, ofs_arr)
                 uncond, text = pred[:b], pred[b:]
-                noise_pred = uncond + g * (text - uncond)
+                return uncond + g * (text - uncond)
+
+            if use_cache and not three_pass:
+                noise_pred = jax.lax.cond(
+                    jnp.asarray(compute_np)[i], predict, lambda _: prev_pred, None
+                )
+            else:
+                noise_pred = predict(None)
 
             if use_dpm:
                 new_latents, new_old = dpm_step(
@@ -572,7 +613,10 @@ class CogVideoXPipeline:
                     sched_plan, i, noise_pred, latents.astype(jnp.float32), noise=step_noise
                 )
                 new_old = old_pred
-            return (new_latents.astype(jnp.float32), new_old), ()
+            new_carry = (new_latents.astype(jnp.float32), new_old)
+            if use_cache:
+                new_carry = new_carry + (noise_pred,)
+            return new_carry, ()
 
         import functools as _ft
 
@@ -588,12 +632,17 @@ class CogVideoXPipeline:
 
         run2, run3 = _range_runner(False), _range_runner(True)
 
+        def init_carry(latents):
+            carry = (latents, jnp.zeros_like(latents))
+            if use_cache:
+                carry = carry + (jnp.zeros_like(latents),)  # prev noise_pred
+            return carry
+
         def run(data):
             # chunked dispatch: each chunk is one bounded XLA program (see
             # core/device.SCAN_CHUNK); chunks enqueue without host fetches,
             # so the device queue stays full — numerics identical to one scan
-            latents = data["latents0"]
-            carry = (latents, jnp.zeros_like(latents))
+            carry = init_carry(data["latents0"])
             start = 0
             if checkpoint is not None:
                 start, carry = checkpoint.restore(carry)
@@ -649,7 +698,7 @@ class CogVideoXPipeline:
                 step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
 
-                carry = (latents0, jnp.zeros_like(latents0))
+                carry = init_carry(latents0)
                 start = 0
                 if checkpoint is not None:
                     start, carry = checkpoint.restore(carry)
@@ -667,8 +716,7 @@ class CogVideoXPipeline:
                             if new_lat is not None:
                                 carry = (
                                     jnp.asarray(new_lat, carry[0].dtype).reshape(carry[0].shape),
-                                    carry[1],
-                                )
+                                ) + carry[1:]
                         if checkpoint is not None:
                             checkpoint.maybe_save(i + 1, carry)
                 if checkpoint is not None:

@@ -274,9 +274,16 @@ class HunyuanVideoPipeline:
         # preemption-safe resume (beyond-parity; see io/runstate.py)
         checkpoint=None,
         checkpoint_every: int = 8,
+        # beyond-parity step caching (see cogvideox.py): DiT forward only
+        # every cache_interval-th step, previous prediction reused otherwise
+        # (ALG-active/final steps always computed). 1 = exact.
+        cache_interval: int = 1,
     ):
         # reset cooperative interruption for this run (reference :1127)
         self.interrupt = False
+        cache_interval = int(cache_interval)
+        if cache_interval < 1:
+            raise ValueError(f"cache_interval must be >= 1, got {cache_interval}")
         if checkpoint is not None:
             from alg_tpu.io.runstate import as_checkpoint, run_fingerprint
 
@@ -297,6 +304,7 @@ class HunyuanVideoPipeline:
                     i2v_stable=i2v_stable,
                     sigmas=None if sigmas is None else tuple(sigmas),
                     image_condition_type=image_condition_type,
+                    cache_interval=cache_interval,
                     lp_on_noisy_latent=lp_on_noisy_latent,
                     alg=(
                         use_low_pass_guidance,
@@ -470,6 +478,7 @@ class HunyuanVideoPipeline:
             cond_mask=cond_mask,
             step_observer=step_observer,
             checkpoint=checkpoint,
+            cache_interval=cache_interval,
         )
 
         if output_type == "latent":
@@ -504,9 +513,11 @@ class HunyuanVideoPipeline:
         cond_mask=None,
         step_observer=None,
         checkpoint=None,
+        cache_interval: int = 1,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
+        use_cache = cache_interval > 1
         pixel_mode = pixel_image is not None
         latent_concat = image_condition_type == "latent_concat"
         mask_np = None if cond_mask is None else np.asarray(cond_mask, np.float32)
@@ -588,40 +599,63 @@ class HunyuanVideoPipeline:
                 return jnp.concatenate([lat_in, img_cond, m], axis=1)
             return jnp.concatenate([img_cond, lat_in[:, :, 1:]], axis=2)
 
+        # step-cache schedule (beyond-parity; see cogvideox.py _sample): full
+        # DiT forward every cache_interval-th step + the final step + every
+        # nonzero-strength ALG step (their conditioning varies per step);
+        # cached steps reuse the previous prediction through the carry
+        if use_cache:
+            n_steps = len(ts_np)
+            compute_np = np.zeros(n_steps, bool)
+            compute_np[::cache_interval] = True
+            compute_np[-1] = True
+            if alg:
+                compute_np[np.asarray(lp_plan.strengths) != 0.0] = True
+
         def step_fn(carry, i, three_pass, data):
-            latents = carry
+            if use_cache:
+                latents, prev_pred = carry
+            else:
+                latents = carry
+                prev_pred = None
             t = jnp.asarray(ts_np)[i]
-            cond = lp_cond(i, data)
             il = data["image_latents"]
             tparams = data["tparams"]
 
-            if do_true_cfg and three_pass:
-                lat_in = jnp.concatenate([latents] * 3, axis=0)
-                img_cond = jnp.concatenate([il, cond, cond], axis=0)
-                lat_in = assemble(lat_in, img_cond)
-                embeds = jnp.concatenate([data["neg_embeds"], data["neg_embeds"], data["prompt_embeds"]], axis=0)
-                mask = jnp.concatenate([data["neg_mask"], data["neg_mask"], data["prompt_mask"]], axis=0)
-                pool = jnp.concatenate([data["neg_pooled"], data["neg_pooled"], data["pooled"]], axis=0)
-                pred = dit(tparams, lat_in, embeds, mask, pool, t)
-                uncond_init, uncond, text = pred[:batch], pred[batch : 2 * batch], pred[2 * batch :]
-                noise_pred = uncond_init + true_cfg_scale * (text - uncond)
-            elif do_true_cfg:
-                # 2-pass: clean conditioning (strength-0 / lp_on_noisy_latent / no-ALG)
-                lat_in = jnp.concatenate([latents] * 2, axis=0)
-                img_cond = jnp.concatenate([il, il], axis=0)
-                lat_in = assemble(lat_in, img_cond)
-                embeds = jnp.concatenate([data["neg_embeds"], data["prompt_embeds"]], axis=0)
-                mask = jnp.concatenate([data["neg_mask"], data["prompt_mask"]], axis=0)
-                pool = jnp.concatenate([data["neg_pooled"], data["pooled"]], axis=0)
-                pred = dit(tparams, lat_in, embeds, mask, pool, t)
-                uncond, text = pred[:batch], pred[batch:]
-                noise_pred = uncond + true_cfg_scale * (text - uncond)
-            else:
+            def predict(_):
+                cond = lp_cond(i, data)
+                if do_true_cfg and three_pass:
+                    lat_in = jnp.concatenate([latents] * 3, axis=0)
+                    img_cond = jnp.concatenate([il, cond, cond], axis=0)
+                    lat_in = assemble(lat_in, img_cond)
+                    embeds = jnp.concatenate([data["neg_embeds"], data["neg_embeds"], data["prompt_embeds"]], axis=0)
+                    mask = jnp.concatenate([data["neg_mask"], data["neg_mask"], data["prompt_mask"]], axis=0)
+                    pool = jnp.concatenate([data["neg_pooled"], data["neg_pooled"], data["pooled"]], axis=0)
+                    pred = dit(tparams, lat_in, embeds, mask, pool, t)
+                    uncond_init, uncond, text = pred[:batch], pred[batch : 2 * batch], pred[2 * batch :]
+                    return uncond_init + true_cfg_scale * (text - uncond)
+                if do_true_cfg:
+                    # 2-pass: clean conditioning (strength-0 / lp_on_noisy_latent / no-ALG)
+                    lat_in = jnp.concatenate([latents] * 2, axis=0)
+                    img_cond = jnp.concatenate([il, il], axis=0)
+                    lat_in = assemble(lat_in, img_cond)
+                    embeds = jnp.concatenate([data["neg_embeds"], data["prompt_embeds"]], axis=0)
+                    mask = jnp.concatenate([data["neg_mask"], data["prompt_mask"]], axis=0)
+                    pool = jnp.concatenate([data["neg_pooled"], data["pooled"]], axis=0)
+                    pred = dit(tparams, lat_in, embeds, mask, pool, t)
+                    uncond, text = pred[:batch], pred[batch:]
+                    return uncond + true_cfg_scale * (text - uncond)
                 # single pass; ALG replaces the conditioning (:1196-1235)
                 lat_in = assemble(latents, cond)
-                noise_pred = dit(
+                return dit(
                     tparams, lat_in, data["prompt_embeds"], data["prompt_mask"], data["pooled"], t
                 )
+
+            if use_cache and not three_pass:
+                noise_pred = jax.lax.cond(
+                    jnp.asarray(compute_np)[i], predict, lambda _: prev_pred, None
+                )
+            else:
+                noise_pred = predict(None)
 
             if latent_concat:
                 # full scheduler step, no re-pinning (reference :1264)
@@ -630,7 +664,10 @@ class HunyuanVideoPipeline:
                 # token_replace scheduler step: frames 1+ only, re-pin frame 0
                 new_rest = flow_match_euler_step(sched_plan, i, noise_pred[:, :, 1:], latents[:, :, 1:])
                 new_latents = jnp.concatenate([il, new_rest], axis=2)
-            return new_latents.astype(jnp.float32), ()
+            new_latents = new_latents.astype(jnp.float32)
+            if use_cache:
+                return (new_latents, noise_pred), ()
+            return new_latents, ()
 
         from alg_tpu.core.device import SCAN_CHUNK
 
@@ -644,13 +681,21 @@ class HunyuanVideoPipeline:
 
         run2, run3 = _range_runner(False), _range_runner(True)
 
+        def init_carry(latents):
+            if use_cache:
+                return (latents, jnp.zeros_like(latents))  # + prev noise_pred
+            return latents
+
+        def carry_latents(carry):
+            return carry[0] if use_cache else carry
+
         def run(data):
             # chunked dispatch (bounded XLA programs, no host fetches between
             # chunks — see core/device.SCAN_CHUNK)
-            latents = data["latents0"]
+            carry = init_carry(data["latents0"])
             start = 0
             if checkpoint is not None:
-                start, latents = checkpoint.restore(latents)
+                start, carry = checkpoint.restore(carry)
             for seg in segments:
                 if seg.stop <= start:
                     continue
@@ -658,15 +703,15 @@ class HunyuanVideoPipeline:
                 i = max(seg.start, start)
                 while i < seg.stop:
                     if self.interrupt:
-                        return latents
+                        return carry_latents(carry)
                     n = min(SCAN_CHUNK, seg.stop - i)
-                    latents = runner(latents, data, jnp.int32(i), n)
+                    carry = runner(carry, data, jnp.int32(i), n)
                     i += n
                     if checkpoint is not None:
-                        checkpoint.maybe_save(i, latents)
+                        checkpoint.maybe_save(i, carry)
             if checkpoint is not None:
                 checkpoint.complete()
-            return latents
+            return carry_latents(carry)
 
         data = {
             "latents0": latents0,
@@ -697,30 +742,32 @@ class HunyuanVideoPipeline:
                 # step per pass-count; each step syncs to invoke the observer
                 step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
-                latents = data["latents0"]
+                carry = init_carry(data["latents0"])
                 start = 0
                 if checkpoint is not None:
-                    start, latents = checkpoint.restore(latents)
+                    start, carry = checkpoint.restore(carry)
                 for seg in segments:
                     if seg.stop <= start:
                         continue
                     f = step3 if seg.three_pass else step2
                     for i in range(max(seg.start, start), seg.stop):
                         if self.interrupt:
-                            return latents
-                        latents = f(latents, i, data)
+                            return carry_latents(carry)
+                        carry = f(carry, i, data)
                         # mutating observer (reference :1278): a returned array
                         # or {"latents": ...} replaces the carry
-                        ret = step_observer(i, np.asarray(latents))
+                        lat = carry_latents(carry)
+                        ret = step_observer(i, np.asarray(lat))
                         if ret is not None:
                             new_lat = ret.get("latents") if isinstance(ret, dict) else ret
                             if new_lat is not None:
-                                latents = jnp.asarray(new_lat, latents.dtype).reshape(latents.shape)
+                                lat = jnp.asarray(new_lat, lat.dtype).reshape(lat.shape)
+                                carry = (lat, carry[1]) if use_cache else lat
                         if checkpoint is not None:
-                            checkpoint.maybe_save(i + 1, latents)
+                            checkpoint.maybe_save(i + 1, carry)
                 if checkpoint is not None:
                     checkpoint.complete()
-                return latents
+                return carry_latents(carry)
             return run(data)
 
     def decode_latents(self, latents, vae_tiling=None) -> jnp.ndarray:

@@ -169,9 +169,16 @@ class WanPipeline:
         # preemption-safe resume (beyond-parity; see io/runstate.py)
         checkpoint=None,
         checkpoint_every: int = 8,
+        # beyond-parity step caching (see cogvideox.py): DiT forward only
+        # every cache_interval-th step, previous prediction reused otherwise
+        # (3-pass/final steps always computed). 1 = exact.
+        cache_interval: int = 1,
     ):
         # reset cooperative interruption for this run (reference :844 loop entry)
         self.interrupt = False
+        cache_interval = int(cache_interval)
+        if cache_interval < 1:
+            raise ValueError(f"cache_interval must be >= 1, got {cache_interval}")
         if checkpoint is not None:
             from alg_tpu.io.runstate import as_checkpoint, run_fingerprint
 
@@ -188,6 +195,7 @@ class WanPipeline:
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale,
                     has_last_image=last_image is not None,
+                    cache_interval=cache_interval,
                     alg=(
                         use_low_pass_guidance,
                         lp_filter_type,
@@ -317,6 +325,7 @@ class WanPipeline:
             pixel_vae_noise,
             step_observer=step_observer,
             checkpoint=checkpoint,
+            cache_interval=cache_interval,
         )
 
         if output_type == "latent":
@@ -409,9 +418,11 @@ class WanPipeline:
         pixel_vae_noise,
         step_observer=None,
         checkpoint=None,
+        cache_interval: int = 1,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
+        use_cache = cache_interval > 1
         pixel_mode = pixel_image is not None
         batch = latents0.shape[0]
         f_lat, h_lat, w_lat = latents0.shape[2:]
@@ -489,30 +500,59 @@ class WanPipeline:
             )
             return out.astype(jnp.float32)
 
+        # step-cache schedule (beyond-parity; see cogvideox.py _sample): full
+        # DiT forward every cache_interval-th step + the final step + every
+        # ALG 3-pass step; cached steps reuse the previous prediction
+        if use_cache:
+            n_steps = len(ts_np)
+            compute_np = np.zeros(n_steps, bool)
+            compute_np[::cache_interval] = True
+            compute_np[-1] = True
+            if alg:
+                # any nonzero-strength step carries a per-step filtered
+                # conditioning (3-pass, or 2-pass under the exponential
+                # shortcut) — always compute those
+                compute_np[np.asarray(lp_plan.strengths) != 0.0] = True
+
         def step_fn(carry, i, three_pass: bool, data):
-            latents, state = carry
+            if use_cache:
+                latents, state, prev_pred = carry
+            else:
+                latents, state = carry
+                prev_pred = None
             t = jnp.asarray(ts_np)[i].astype(jnp.float32)
-            cond = lp_condition(i, data)
             tparams = data["tparams"]
             condition_in = data["condition"]
             img = data["image_embeds"]
-            if not do_cfg:
-                noise_pred = dit(tparams, latents, cond, data["embeds2"], img, t)
-            elif three_pass:
-                lat_in = jnp.concatenate([latents] * 3, axis=0)
-                cond_in = jnp.concatenate([condition_in, cond, cond], axis=0)
-                pred = dit(tparams, lat_in, cond_in, data["embeds3"], jnp.concatenate([img] * 3, axis=0), t)
-                uncond_init, uncond, text = pred[:batch], pred[batch : 2 * batch], pred[2 * batch :]
-                noise_pred = uncond_init + guidance_scale * (text - uncond)
-            else:
+
+            def predict(_):
+                cond = lp_condition(i, data)
+                if not do_cfg:
+                    return dit(tparams, latents, cond, data["embeds2"], img, t)
+                if three_pass:
+                    lat_in = jnp.concatenate([latents] * 3, axis=0)
+                    cond_in = jnp.concatenate([condition_in, cond, cond], axis=0)
+                    pred = dit(tparams, lat_in, cond_in, data["embeds3"], jnp.concatenate([img] * 3, axis=0), t)
+                    uncond_init, uncond, text = pred[:batch], pred[batch : 2 * batch], pred[2 * batch :]
+                    return uncond_init + guidance_scale * (text - uncond)
                 # strength-0 steps condition on the *clean* condition (:884-888)
                 lat_in = jnp.concatenate([latents] * 2, axis=0)
                 cond_in = jnp.concatenate([condition_in, condition_in], axis=0)
                 pred = dit(tparams, lat_in, cond_in, data["embeds2"], jnp.concatenate([img] * 2, axis=0), t)
                 uncond, text = pred[:batch], pred[batch:]
-                noise_pred = uncond + guidance_scale * (text - uncond)
+                return uncond + guidance_scale * (text - uncond)
+
+            if use_cache and not three_pass:
+                noise_pred = jax.lax.cond(
+                    jnp.asarray(compute_np)[i], predict, lambda _: prev_pred, None
+                )
+            else:
+                noise_pred = predict(None)
             new_latents, new_state = unipc_step(sched_plan, i, noise_pred, latents, state)
-            return (new_latents.astype(jnp.float32), new_state), ()
+            new_carry = (new_latents.astype(jnp.float32), new_state)
+            if use_cache:
+                new_carry = new_carry + (noise_pred,)
+            return new_carry, ()
 
         import functools as _ft
 
@@ -528,12 +568,16 @@ class WanPipeline:
 
         run2, run3 = _range_runner(False), _range_runner(True)
 
+        def init_carry(latents):
+            carry = (latents, unipc_init_state(sched_plan, latents.shape))
+            if use_cache:
+                carry = carry + (jnp.zeros_like(latents),)  # prev noise_pred
+            return carry
+
         def run(data):
             # chunked dispatch (bounded XLA programs, no host fetches between
             # chunks — see core/device.SCAN_CHUNK); UniPC state rides the carry
-            latents = data["latents0"]
-            state = unipc_init_state(sched_plan, latents.shape)
-            carry = (latents, state)
+            carry = init_carry(data["latents0"])
             start = 0
             if checkpoint is not None:
                 start, carry = checkpoint.restore(carry)
@@ -581,7 +625,7 @@ class WanPipeline:
                 # pass-count; each step syncs to invoke the observer
                 step2 = jax.jit(lambda c, i, d: step_fn(c, i, False, d)[0])
                 step3 = jax.jit(lambda c, i, d: step_fn(c, i, True, d)[0])
-                carry = (data["latents0"], unipc_init_state(sched_plan, data["latents0"].shape))
+                carry = init_carry(data["latents0"])
                 start = 0
                 if checkpoint is not None:
                     start, carry = checkpoint.restore(carry)
@@ -601,8 +645,7 @@ class WanPipeline:
                             if new_lat is not None:
                                 carry = (
                                     jnp.asarray(new_lat, carry[0].dtype).reshape(carry[0].shape),
-                                    carry[1],
-                                )
+                                ) + carry[1:]
                         if checkpoint is not None:
                             checkpoint.maybe_save(i + 1, carry)
                 if checkpoint is not None:

@@ -45,6 +45,10 @@ INT8_ATTN = "--int8-attn" in sys.argv
 # opt-in W4A8: int4 weight storage (group-128 scales), int8 MXU compute —
 # the memory-bound serving mode (ops/quant.py quantize_kernel_w4)
 W4 = "--w4" in sys.argv
+# opt-in step caching (--cache K): DiT forward every K-th step, previous
+# prediction reused otherwise (pipelines/*.py cache_interval) — approximate,
+# like the int8 modes; effective steps/s scales ~K on the cached fraction
+CACHE = int(sys.argv[sys.argv.index("--cache") + 1]) if "--cache" in sys.argv else 1
 
 
 def main():
@@ -119,6 +123,7 @@ def main():
             None,  # ofs (CogVideoX-1.0)
             True,  # do_cfg
             None,  # dpm_noise
+            cache_interval=CACHE,
         )
 
     def sync(x):
@@ -143,6 +148,9 @@ def main():
     if W4:
         suffix = "_w4a8" + ("_int8attn" if INT8_ATTN else "")
         mode = "W4A8 int4-weight/int8-MXU" + (" + int8 QK^T attn" if INT8_ATTN else "")
+    if CACHE > 1:
+        suffix += f"_cache{CACHE}"
+        mode += f" + step-cache k={CACHE}"
     metric = "cogvideox5b_denoise_steps_per_sec_per_chip" + suffix
     print(
         json.dumps(

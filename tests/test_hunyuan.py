@@ -313,3 +313,29 @@ def test_hunyuan_latent_concat_rejects_wrong_in_channels(pipe):
             num_inference_steps=1, image_condition_type="latent_concat",
             output_type="latent",
         )
+
+
+def test_hunyuan_cache_interval(pipe):
+    """cache_interval>1 on the shipped single-pass ALG path: ALG-active steps
+    are always computed (their conditioning varies per step), cached steps
+    reuse the previous prediction; observer dispatch equals scan dispatch."""
+    emb, pooled, mask = _embeds()
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    kwargs = dict(
+        image=img, prompt_embeds=emb, pooled_prompt_embeds=pooled,
+        prompt_attention_mask=mask, height=32, width=32, num_frames=9,
+        num_inference_steps=4, guidance_scale=6.0, true_cfg_scale=1.0,
+        i2v_stable=True, seed=42, output_type="latent",
+        use_low_pass_guidance=True, lp_filter_type="down_up",
+        lp_filter_in_latent=True, lp_resize_factor=0.625,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0, schedule_interval_end_time=0.3,
+    )
+    exact = pipe(**kwargs)
+    cached = pipe(cache_interval=3, **kwargs)
+    assert np.isfinite(cached).all()
+    assert not np.allclose(exact, cached)
+    # token_replace re-pinning survives caching: frame 0 stays the clean latent
+    np.testing.assert_allclose(cached[:, :, 0], exact[:, :, 0], atol=1e-5)
+    obs = pipe(cache_interval=3, step_observer=lambda i, lat: None, **kwargs)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(cached), atol=1e-5)

@@ -171,3 +171,88 @@ def test_dpm_scheduler_runs(pipe):
     )
     assert video.shape == (1, 9, 32, 32, 3)
     assert np.isfinite(video).all()
+
+
+def test_cache_interval_semantics(pipe, monkeypatch):
+    """Step caching (beyond-parity, cache_interval>1): the DiT runs only on
+    compute steps (every k-th + the final); cached steps reuse the previous
+    prediction. Pinned independently: a timestep-keyed stub transformer makes
+    noise_pred == t/1000, so the expected trajectory is reproducible in the
+    test from the public DDIM plan/step alone, with the caching rule
+    reimplemented here."""
+    from alg_tpu.pipelines import cogvideox as M
+    from alg_tpu.schedulers import ddim_step, make_ddim_plan
+
+    def stub_transformer(params, cfg, x, embeds, t, cos, sin, ofs=None):
+        c_out = x.shape[2] // 2
+        return jnp.broadcast_to(
+            (t / 1000.0).reshape(-1, 1, 1, 1, 1).astype(x.dtype), x[:, :, :c_out].shape
+        )
+
+    monkeypatch.setattr(M, "cogvideox_transformer", stub_transformer)
+
+    n_steps = 5
+    kwargs = dict(
+        image=_image(),
+        prompt_embeds=_embeds(1),
+        negative_prompt_embeds=_embeds(2),
+        guidance_scale=6.0,
+        seed=42,
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=n_steps,
+        output_type="latent",
+    )
+    out_exact = pipe(**kwargs)
+    out_cached = pipe(cache_interval=2, **kwargs)
+    assert not np.allclose(out_exact, out_cached)
+
+    # independent reference: same plan, same stub predictions, caching rule
+    # reimplemented here (compute on i % 2 == 0 and the last step)
+    plan = make_ddim_plan(pipe.scheduler_cfg, n_steps)
+    ts = np.asarray(plan.timesteps)
+    # reproduce latents0: same draws as the pipeline (VAE posterior draw
+    # first, then the init noise) — easiest is to ask the pipeline for its
+    # exact-step-0 state by running with num_inference_steps=... simpler:
+    # replicate via NoiseSource ordering
+    b, lat_f, c, h, w = out_exact.shape
+    noise = NoiseSource(seed=42)
+    _posterior = noise.randn((b, c, 1, h, w))  # vae_encode_sample draw
+    latents = jnp.asarray(noise.randn((b, lat_f, c, h, w)), jnp.float32)
+    prev = None
+    for i in range(n_steps):
+        if i % 2 == 0 or i == n_steps - 1:
+            prev = jnp.full_like(latents, float(ts[i]) / 1000.0)
+        latents = ddim_step(plan, i, prev, latents).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(latents), atol=1e-6)
+
+
+def test_cache_interval_observer_path_matches_scan(pipe):
+    """cache_interval through the observer (per-step) dispatch equals the
+    chunked-scan dispatch, and ALG 3-pass steps are always computed."""
+    kwargs = dict(
+        image=_image(),
+        prompt_embeds=_embeds(1),
+        negative_prompt_embeds=_embeds(2),
+        guidance_scale=6.0,
+        seed=42,
+        cache_interval=3,
+        use_low_pass_guidance=True,
+        lp_filter_type="down_up",
+        lp_filter_in_latent=True,
+        lp_resize_factor=0.25,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.4,
+        height=32,
+        width=32,
+        num_frames=9,
+        num_inference_steps=4,
+        output_type="latent",
+    )
+    scan = pipe(**kwargs)
+    seen = []
+    obs = pipe(step_observer=lambda i, lat: seen.append(i), **kwargs)
+    assert seen == [0, 1, 2, 3]
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(scan), atol=1e-5)

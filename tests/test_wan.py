@@ -352,3 +352,30 @@ def test_wan_flf2v_batched_serving(wan_pipe):
     # mixed presence rejected
     with pytest.raises(ValueError, match="ALL requests"):
         serve_batch(wan_pipe, [reqs[0], no_last[1]], **kwargs)
+
+
+def test_wan_cache_interval(wan_pipe):
+    """cache_interval>1: cached run differs from exact, is finite, and the
+    observer (per-step) dispatch equals the chunked-scan dispatch. The cache
+    RULE itself is pinned independently in test_pipeline_cogvideox (identical
+    implementation across pipelines)."""
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    rng = np.random.RandomState(1)
+    kwargs = dict(
+        image=img,
+        prompt_embeds=jnp.asarray(rng.randn(1, 7, 8).astype(np.float32)),
+        negative_prompt_embeds=jnp.asarray(rng.randn(1, 7, 8).astype(np.float32)),
+        image_embeds=jnp.asarray(rng.randn(1, 5, 10).astype(np.float32)),
+        height=32, width=32, num_frames=9, num_inference_steps=4,
+        guidance_scale=5.0, seed=42, output_type="latent",
+        use_low_pass_guidance=True, lp_filter_type="down_up",
+        lp_filter_in_latent=True, lp_resize_factor=0.4,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0, schedule_interval_end_time=0.3,
+    )
+    exact = wan_pipe(**kwargs)
+    cached = wan_pipe(cache_interval=2, **kwargs)
+    assert np.isfinite(cached).all()
+    assert not np.allclose(exact, cached)
+    obs = wan_pipe(cache_interval=2, step_observer=lambda i, lat: None, **kwargs)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(cached), atol=1e-5)
