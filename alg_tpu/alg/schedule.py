@@ -220,3 +220,20 @@ def build_lp_plan(
         m_idx=m_idx,
         segments=_segments_from_mask(three_pass),
     )
+
+
+def build_cache_schedule(num_steps: int, cache_interval: int, strengths=None):
+    """Compute-step mask for the opt-in step cache (``cache_interval > 1``).
+
+    Full DiT forward on every ``cache_interval``-th step and the final step;
+    every nonzero-``strengths`` ALG step is forced too — its (possibly
+    2-pass) conditioning varies per step, so skipping it would drop the ALG
+    effect entirely. Shared by all three pipelines."""
+    import numpy as _np
+
+    compute = _np.zeros(num_steps, bool)
+    compute[::cache_interval] = True
+    compute[-1] = True
+    if strengths is not None:
+        compute[_np.asarray(strengths) != 0.0] = True
+    return compute

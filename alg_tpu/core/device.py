@@ -155,7 +155,9 @@ def enable_compilation_cache(default_dir: str = "~/.cache/alg_tpu/xla_cache") ->
     path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser(default_dir)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache even fast-compiling programs: the tunnel round-trip, not local
-    # compile time, dominates cold starts
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache even fast-compiling programs (the tunnel round-trip, not local
+    # compile time, dominates cold starts) — but defer to an explicit env
+    # override, like the dir
+    if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return path

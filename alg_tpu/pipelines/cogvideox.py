@@ -270,7 +270,9 @@ class CogVideoXPipeline:
                     eta=eta,
                     timesteps=timesteps,
                     scheduler=self.scheduler,
-                    cache_interval=cache_interval,
+                    # only hashed when active — exact-mode checkpoints
+                    # written before this key existed stay resumable
+                    **({"cache_interval": cache_interval} if cache_interval != 1 else {}),
                     alg=(
                         use_low_pass_guidance,
                         lp_filter_type,
@@ -557,15 +559,11 @@ class CogVideoXPipeline:
         # through the carry. Host-side static table → runtime lax.cond, so
         # skipped steps execute none of the DiT.
         if use_cache:
-            n_steps = len(ts_np)
-            compute_np = np.zeros(n_steps, bool)
-            compute_np[::cache_interval] = True
-            compute_np[-1] = True
-            if alg:
-                # any nonzero-strength step carries a per-step filtered
-                # conditioning (3-pass, or 2-pass under the exponential
-                # shortcut) — always compute those
-                compute_np[np.asarray(lp_plan.strengths) != 0.0] = True
+            from alg_tpu.alg.schedule import build_cache_schedule
+
+            compute_np = build_cache_schedule(
+                len(ts_np), cache_interval, lp_plan.strengths if alg else None
+            )
 
         def step_fn(carry, i, three_pass: bool, data):
             if use_cache:

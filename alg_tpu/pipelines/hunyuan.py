@@ -304,7 +304,9 @@ class HunyuanVideoPipeline:
                     i2v_stable=i2v_stable,
                     sigmas=None if sigmas is None else tuple(sigmas),
                     image_condition_type=image_condition_type,
-                    cache_interval=cache_interval,
+                    # only hashed when active — exact-mode checkpoints
+                    # written before this key existed stay resumable
+                    **({"cache_interval": cache_interval} if cache_interval != 1 else {}),
                     lp_on_noisy_latent=lp_on_noisy_latent,
                     alg=(
                         use_low_pass_guidance,
@@ -604,12 +606,11 @@ class HunyuanVideoPipeline:
         # nonzero-strength ALG step (their conditioning varies per step);
         # cached steps reuse the previous prediction through the carry
         if use_cache:
-            n_steps = len(ts_np)
-            compute_np = np.zeros(n_steps, bool)
-            compute_np[::cache_interval] = True
-            compute_np[-1] = True
-            if alg:
-                compute_np[np.asarray(lp_plan.strengths) != 0.0] = True
+            from alg_tpu.alg.schedule import build_cache_schedule
+
+            compute_np = build_cache_schedule(
+                len(ts_np), cache_interval, lp_plan.strengths if alg else None
+            )
 
         def step_fn(carry, i, three_pass, data):
             if use_cache:

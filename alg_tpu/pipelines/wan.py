@@ -195,7 +195,9 @@ class WanPipeline:
                     num_inference_steps=num_inference_steps,
                     guidance_scale=guidance_scale,
                     has_last_image=last_image is not None,
-                    cache_interval=cache_interval,
+                    # only hashed when active — exact-mode checkpoints
+                    # written before this key existed stay resumable
+                    **({"cache_interval": cache_interval} if cache_interval != 1 else {}),
                     alg=(
                         use_low_pass_guidance,
                         lp_filter_type,
@@ -504,15 +506,11 @@ class WanPipeline:
         # DiT forward every cache_interval-th step + the final step + every
         # ALG 3-pass step; cached steps reuse the previous prediction
         if use_cache:
-            n_steps = len(ts_np)
-            compute_np = np.zeros(n_steps, bool)
-            compute_np[::cache_interval] = True
-            compute_np[-1] = True
-            if alg:
-                # any nonzero-strength step carries a per-step filtered
-                # conditioning (3-pass, or 2-pass under the exponential
-                # shortcut) — always compute those
-                compute_np[np.asarray(lp_plan.strengths) != 0.0] = True
+            from alg_tpu.alg.schedule import build_cache_schedule
+
+            compute_np = build_cache_schedule(
+                len(ts_np), cache_interval, lp_plan.strengths if alg else None
+            )
 
         def step_fn(carry, i, three_pass: bool, data):
             if use_cache:

@@ -142,17 +142,17 @@ def serve(args):
         )
 
     logger.info("Starting batched generation (%d requests)...", len(requests))
-    if args.profile_dir:
-        import contextlib
+    import contextlib
 
+    if args.profile_dir:
         from alg_tpu.utils.profiling import trace_to
 
         prof_ctx = trace_to(args.profile_dir)
         logger.info("Profiling to %s (view with TensorBoard/xprof)", args.profile_dir)
     else:
-        import contextlib
-
         prof_ctx = contextlib.nullcontext()
+    if args.sp_mode != "gather" and (mesh is None or args.sp == 1):
+        logger.warning("--sp_mode %s has no effect without --sp > 1", args.sp_mode)
     with prof_ctx:
         videos = serve_batch(pipe, requests, mesh=mesh, sp_mode=args.sp_mode, **gen_kwargs)
 

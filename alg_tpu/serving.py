@@ -44,15 +44,15 @@ class BatchRequest:
     last_image: Any = None
 
 
-def _preprocess_images(requests, height, width) -> np.ndarray:
+def _preprocess_images(requests, height, width, attr: str = "image") -> np.ndarray:
     from alg_tpu.pipelines import processing
 
     return np.concatenate(
         [
-            processing.preprocess_image(r.image, height, width)
-            if not isinstance(r.image, np.ndarray)
-            else np.asarray(r.image, np.float32)
-            for r in requests
+            processing.preprocess_image(img, height, width)
+            if not isinstance(img, np.ndarray)
+            else np.asarray(img, np.float32)
+            for img in (getattr(r, attr) for r in requests)
         ],
         axis=0,
     )
@@ -139,7 +139,7 @@ def serve_batch(
     pipeline,
     requests: Sequence[BatchRequest],
     mesh: Optional[Mesh] = None,
-    sp_mode: str = "gather",
+    sp_mode: Optional[str] = None,
     **gen_kwargs,
 ) -> List[Any]:
     """Run a batch of I2V requests through one pipeline invocation.
@@ -148,13 +148,17 @@ def serve_batch(
     prompts are encoded as a batch. Passing a ``mesh`` arms the pipeline via
     :func:`shard_pipeline` (no-op if it is already armed with that mesh and
     ``sp_mode``); the batch then lays out along the ``dp`` axis and the DiT
-    runs TP/SP-sharded (``sp_mode``: "gather" | "ring", see shard_pipeline).
+    runs TP/SP-sharded. ``sp_mode`` ("gather" | "ring", see shard_pipeline)
+    defaults to None = KEEP the pipeline's current mode — a ring-armed
+    pipeline is never silently downgraded back to all-gathered KV.
     """
     family = type(pipeline).__name__
     if family not in _ENCODERS:
         raise ValueError(f"Unsupported pipeline type for serving: {family}")
-    if mesh is not None and (pipeline.attn_mesh is not mesh or pipeline.sp_mode != sp_mode):
-        pipeline = shard_pipeline(pipeline, mesh, sp_mode=sp_mode)
+    if mesh is not None:
+        want_mode = pipeline.sp_mode if sp_mode is None else sp_mode
+        if pipeline.attn_mesh is not mesh or pipeline.sp_mode != want_mode:
+            pipeline = shard_pipeline(pipeline, mesh, sp_mode=want_mode)
 
     n = len(requests)
     def_h, def_w = _DEFAULT_HW[family]
@@ -171,17 +175,7 @@ def serve_batch(
                 "last_image must be set on ALL requests in a batch or on none "
                 "(the mask/condition layout differs)"
             )
-        from alg_tpu.pipelines import processing as _proc
-
-        gen_kwargs["last_image"] = np.concatenate(
-            [
-                _proc.preprocess_image(r.last_image, height, width)
-                if not isinstance(r.last_image, np.ndarray)
-                else np.asarray(r.last_image, np.float32)
-                for r in requests
-            ],
-            axis=0,
-        )
+        gen_kwargs["last_image"] = _preprocess_images(requests, height, width, attr="last_image")
 
     encoded = _ENCODERS[family](pipeline, requests, gen_kwargs)
 

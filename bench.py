@@ -48,7 +48,17 @@ W4 = "--w4" in sys.argv
 # opt-in step caching (--cache K): DiT forward every K-th step, previous
 # prediction reused otherwise (pipelines/*.py cache_interval) — approximate,
 # like the int8 modes; effective steps/s scales ~K on the cached fraction
-CACHE = int(sys.argv[sys.argv.index("--cache") + 1]) if "--cache" in sys.argv else 1
+def _parse_cache() -> int:
+    if "--cache" not in sys.argv:
+        return 1
+    idx = sys.argv.index("--cache")
+    try:
+        return int(sys.argv[idx + 1])
+    except (IndexError, ValueError):
+        sys.exit("usage: bench.py --cache K  (K = positive integer step-cache interval)")
+
+
+CACHE = _parse_cache()
 
 
 def main():

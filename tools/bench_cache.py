@@ -15,8 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+sys.path.insert(0, "/root/repo")
+from alg_tpu.core.device import enable_compilation_cache
+
+enable_compilation_cache(default_dir="/root/.cache/jax_tpu_cache")
 
 A100 = 0.185
 STEPS = 50
