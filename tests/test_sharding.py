@@ -794,3 +794,62 @@ def test_ring_sp_serving_matches_gather():
             set_attention_impl(None)
         assert out.shape == (2, 2, 4, 4, 4)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_cached_sampler_sharded_matches_unsharded():
+    """Step caching (cache_interval>1) composes with the dp×sp×tp mesh: the
+    in-scan lax.cond around the shard_map'd DiT must give the same numbers
+    sharded and unsharded."""
+    from alg_tpu.models.cogvideox import (
+        CogVideoXTransformerConfig,
+        CogVideoXVAEConfig,
+        init_cogvideox_transformer,
+        init_cogvideox_vae,
+    )
+    from alg_tpu.ops.attention import set_attention_impl
+    from alg_tpu.pipelines import CogVideoXPipeline
+    from alg_tpu.serving import BatchRequest, serve_batch, shard_pipeline
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    with jax.default_device(cpus[0]):
+        tcfg = CogVideoXTransformerConfig(
+            num_attention_heads=4, attention_head_dim=16, in_channels=8,
+            out_channels=4, time_embed_dim=16, text_embed_dim=12, num_layers=2,
+            sample_height=4, sample_width=4, max_text_seq_length=4,
+        )
+        vcfg = CogVideoXVAEConfig(
+            block_out_channels=(8, 16, 16, 32), latent_channels=4,
+            layers_per_block=1, norm_num_groups=4,
+        )
+        pipe = CogVideoXPipeline(
+            transformer_cfg=tcfg,
+            transformer_params=init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg),
+            vae_cfg=vcfg,
+            vae_params=init_cogvideox_vae(jax.random.PRNGKey(1), vcfg),
+        )
+        pipe.encode_prompt = lambda prompts, max_len=226: jnp.asarray(
+            np.random.RandomState(3).randn(len(prompts), 4, 12).astype(np.float32)
+        )
+        rng = np.random.RandomState(7)
+        reqs = [
+            BatchRequest(prompt="a", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=42),
+            BatchRequest(prompt="b", image=rng.rand(1, 3, 32, 32).astype(np.float32) * 2 - 1, seed=7),
+        ]
+        kwargs = dict(height=32, width=32, num_frames=5, num_inference_steps=4,
+                      guidance_scale=6.0, output_type="latent",
+                      max_sequence_length=4, cache_interval=2)
+
+        set_attention_impl("xla")
+        try:
+            ref = serve_batch(pipe, reqs, **kwargs)
+            exact = serve_batch(pipe, reqs, **{**kwargs, "cache_interval": 1})
+            assert not np.allclose(ref, exact)  # caching actually skipped steps
+            mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+            pipe_sh = shard_pipeline(pipe, mesh)
+            pipe_sh.encode_prompt = pipe.encode_prompt
+            with mesh:
+                out = serve_batch(pipe_sh, reqs, **kwargs)
+        finally:
+            set_attention_impl(None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
