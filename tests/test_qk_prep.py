@@ -34,9 +34,11 @@ def test_qk_prep_kernel_matches_xla_composition(dtype):
     ref = R.apply_rope_interleaved(L.layer_norm(normp, x, 1e-6), cos, sin)
     out = qk_norm_rope(x, normp, cos, sin, 1e-6, force="pallas", interpret=True)
     assert out.dtype == ref.dtype and out.shape == ref.shape
-    atol = 2e-2 if dtype == jnp.bfloat16 else 2e-6
+    # bf16 needs a relative term too: a one-ulp rounding difference at
+    # magnitude 4 is 0.03125, legitimately above any fixed small atol
+    atol, rtol = (2e-2, 1e-2) if dtype == jnp.bfloat16 else (2e-6, 0.0)
     np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=rtol
     )
 
 
