@@ -40,15 +40,49 @@ def blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
     return jnp.concatenate([left.astype(b.dtype), b[:, :, :, extent:]], axis=3)
 
 
+def _decode_tiles_sharded(decode_fn, tiles, mesh):
+    """Decode a list of SAME-SHAPE tiles with the tile axis sharded over all
+    ``mesh`` devices (latent parallelism for the decode stage: tiles are
+    independent overlapping windows, so the grid spreads embarrassingly over
+    the chips; the count pads up by replicating the last tile). Each shard
+    runs ``lax.map`` over its local tiles — every tile goes through exactly
+    the sequential path's decode function."""
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = mesh.devices.reshape(-1)
+    n = len(devs)
+    t = len(tiles)
+    pad = (-t) % n
+    stacked = jnp.stack(list(tiles) + [tiles[-1]] * pad)
+    tile_mesh = Mesh(devs, ("tiles",))
+    stacked = jax.device_put(stacked, NamedSharding(tile_mesh, P("tiles")))
+    fn = shard_map(
+        lambda ts: jax.lax.map(decode_fn, ts),
+        mesh=tile_mesh,
+        in_specs=P("tiles"),
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    out = jax.jit(fn)(stacked)
+    return [out[i] for i in range(t)]
+
+
 def tiled_decode(
     decode_fn: Callable[[jnp.ndarray], jnp.ndarray],
     z: jnp.ndarray,  # [B, F', h, w, C] latent (channels-last)
     spatial_scale: int,
     tile_latent: int = 32,
     stride_latent: int = 24,
+    mesh=None,
 ) -> jnp.ndarray:
     """Decode ``z`` in overlapping ``tile_latent``² windows. Returns the
-    assembled [B, F, h·scale, w·scale, 3] video."""
+    assembled [B, F, h·scale, w·scale, 3] video.
+
+    With a ``mesh``, same-shape tile groups decode with the tile grid sharded
+    over ALL mesh devices (``_decode_tiles_sharded``) — a 720p Hunyuan clip
+    has 28 tiles, so an 8-chip mesh cuts the decode stage ~7×; numerics equal
+    the sequential path (each tile runs the same decode function)."""
     b, f, h, w, c = z.shape
     if h <= tile_latent and w <= tile_latent:
         return decode_fn(z)
@@ -56,13 +90,34 @@ def tiled_decode(
     overlap_px = (tile_latent - stride_latent) * spatial_scale
     stride_px = stride_latent * spatial_scale
 
+    coords = [
+        (i, j) for i in range(0, h, stride_latent) for j in range(0, w, stride_latent)
+    ]
+    tiles_z = {
+        (i, j): z[:, :, i : i + tile_latent, j : j + tile_latent] for (i, j) in coords
+    }
+    decoded = {}
+    if mesh is not None and len(coords) > 1:
+        # group by latent shape (interior / right edge / bottom edge / corner)
+        groups: dict = {}
+        for cd in coords:
+            groups.setdefault(tiles_z[cd].shape, []).append(cd)
+        for shape_coords in groups.values():
+            if len(shape_coords) == 1:
+                cd = shape_coords[0]
+                decoded[cd] = decode_fn(tiles_z[cd])
+                continue
+            outs = _decode_tiles_sharded(
+                decode_fn, [tiles_z[cd] for cd in shape_coords], mesh
+            )
+            decoded.update(zip(shape_coords, outs))
+    else:
+        for cd in coords:
+            decoded[cd] = decode_fn(tiles_z[cd])
+
     rows = []
     for i in range(0, h, stride_latent):
-        row = []
-        for j in range(0, w, stride_latent):
-            tile = z[:, :, i : i + tile_latent, j : j + tile_latent]
-            row.append(decode_fn(tile))
-        rows.append(row)
+        rows.append([decoded[(i, j)] for j in range(0, w, stride_latent)])
 
     result_rows = []
     for i, row in enumerate(rows):

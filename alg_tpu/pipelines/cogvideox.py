@@ -738,7 +738,8 @@ class CogVideoXPipeline:
             vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
         if vae_tiling:
             frames = tiled_decode(
-                lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale
+                lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale,
+                mesh=self.attn_mesh,  # tile grid spreads over the serving mesh
             )
         else:
             frames = fn(self.vae_params, z)

@@ -782,7 +782,10 @@ class HunyuanVideoPipeline:
         if vae_tiling is None:
             vae_tiling = z.shape[2] * z.shape[3] > 48 * 48
         if vae_tiling:
-            out = tiled_decode(lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale)
+            out = tiled_decode(
+                lambda zt: fn(self.vae_params, zt), z, self.vae_cfg.spatial_scale,
+                mesh=self.attn_mesh,  # tile grid spreads over the serving mesh
+            )
         else:
             out = fn(self.vae_params, z)
         return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)

@@ -853,3 +853,55 @@ def test_cached_sampler_sharded_matches_unsharded():
         finally:
             set_attention_impl(None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_tiled_decode_sharded_matches_sequential():
+    """Distributed tiled VAE decode: the tile grid sharded over all mesh
+    devices must reproduce the sequential tiled decode exactly (each tile
+    runs the same decode function; grouping covers interior/edge shapes)."""
+    from alg_tpu.models.vae_tiling import tiled_decode
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    scale = 2
+    proj = jnp.asarray(np.random.RandomState(0).randn(4, 3).astype(np.float32))
+
+    def decode_fn(t):  # [B, F, h, w, 4] -> [B, F, h*2, w*2, 3], deterministic
+        up = jnp.repeat(jnp.repeat(t, scale, axis=2), scale, axis=3)
+        return jnp.tanh(up @ proj)
+
+    # 13x21 latent with tile 8 / stride 6 → interior + right + bottom + corner
+    z = jnp.asarray(np.random.RandomState(1).randn(1, 2, 13, 21, 4).astype(np.float32))
+    ref = np.asarray(tiled_decode(decode_fn, z, scale, tile_latent=8, stride_latent=6))
+    mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+    out = np.asarray(
+        tiled_decode(decode_fn, z, scale, tile_latent=8, stride_latent=6, mesh=mesh)
+    )
+    assert out.shape == ref.shape == (1, 2, 26, 42, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_pipeline_decode_latents_mesh_matches_single():
+    """decode_latents with a mesh-armed pipeline spreads the VAE tile grid
+    over devices; output equals the single-device tiled decode."""
+    import dataclasses as _dc
+
+    from alg_tpu.models.cogvideox import CogVideoXVAEConfig, init_cogvideox_vae
+    from alg_tpu.pipelines import CogVideoXPipeline
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    with jax.default_device(cpus[0]):
+        vcfg = CogVideoXVAEConfig(
+            block_out_channels=(8, 16, 16, 32), latent_channels=4,
+            layers_per_block=1, norm_num_groups=4,
+        )
+        pipe = CogVideoXPipeline(
+            transformer_cfg=None, transformer_params=None,
+            vae_cfg=vcfg, vae_params=init_cogvideox_vae(jax.random.PRNGKey(1), vcfg),
+        )
+        lat = jnp.asarray(np.random.RandomState(0).randn(1, 2, 4, 52, 52).astype(np.float32))
+        ref = np.asarray(pipe.decode_latents(lat))  # auto-tiled (52 > 48)
+        mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
+        out = np.asarray(_dc.replace(pipe, attn_mesh=mesh).decode_latents(lat))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
