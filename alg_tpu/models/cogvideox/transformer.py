@@ -324,7 +324,9 @@ def cogvideox_transformer(
         hdn, enc = _block(cfg, bp, hdn, enc, temb, rc, rs)
         return (hdn, enc), ()
 
-    (video, text), _ = jax.lax.scan(body, (video, text), params["blocks"])
+    from alg_tpu.core.remat import maybe_checkpoint
+
+    (video, text), _ = jax.lax.scan(maybe_checkpoint(body), (video, text), params["blocks"])
 
     # final norm over the joint stream, then slice the video part
     joint = jnp.concatenate([text, video], axis=1)

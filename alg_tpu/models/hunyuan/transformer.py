@@ -352,7 +352,11 @@ def hunyuan_transformer(
         tt = tt + L.mlp(bp["ff_context"], tn2, act=L.gelu_tanh) * cg2
         return (xx, tt), ()
 
-    (x, text), _ = jax.lax.scan(double_fn, (x, text), params["transformer_blocks"])
+    from alg_tpu.core.remat import maybe_checkpoint
+
+    (x, text), _ = jax.lax.scan(
+        maybe_checkpoint(double_fn), (x, text), params["transformer_blocks"]
+    )
 
     # ---- single-stream blocks over [video; text]
     joint = jnp.concatenate([x, text], axis=1)
@@ -388,7 +392,9 @@ def hunyuan_transformer(
             xx = xx + out * g_
         return xx, ()
 
-    joint, _ = jax.lax.scan(single_fn, joint, params["single_transformer_blocks"])
+    joint, _ = jax.lax.scan(
+        maybe_checkpoint(single_fn), joint, params["single_transformer_blocks"]
+    )
     x = joint[:, :seq_v]
 
     # output head: AdaLayerNormContinuous (chunk order: scale first)

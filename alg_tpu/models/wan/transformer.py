@@ -220,7 +220,9 @@ def wan_transformer(
         x = x + c_gate * L.mlp(bp["ffn"], xn, act=L.gelu_tanh)
         return x, ()
 
-    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    from alg_tpu.core.remat import maybe_checkpoint
+
+    x, _ = jax.lax.scan(maybe_checkpoint(block_fn), x, params["blocks"])
 
     # output head: shift/scale from temb (not silu'd) + table
     head = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]

@@ -1,0 +1,49 @@
+"""Training tier (beyond-parity: the reference is inference-only, SURVEY §0).
+
+Losses in the pipelines' exact model-input layouts, an optax train step with
+remat + gradient accumulation + mesh sharding (reusing the inference TP
+partition specs), and LoRA fine-tuning whose trained adapters export to the
+peft layout ``alg_tpu.io.lora`` merges.
+"""
+
+from alg_tpu.training.losses import (
+    make_cogvideox_vpred_loss,
+    make_hunyuan_flow_loss,
+    make_wan_flow_loss,
+    sample_flow_sigmas,
+    shift_sigmas,
+)
+from alg_tpu.training.lora import (
+    COGVIDEOX_PEFT_PATHS,
+    DEFAULT_TARGETS,
+    apply_lora,
+    init_lora_params,
+    make_lora_loss,
+    to_peft_state,
+)
+from alg_tpu.training.train import (
+    TrainConfig,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+    shard_batch,
+)
+
+__all__ = [
+    "TrainConfig",
+    "make_optimizer",
+    "make_train_step",
+    "make_sharded_train_step",
+    "shard_batch",
+    "make_cogvideox_vpred_loss",
+    "make_wan_flow_loss",
+    "make_hunyuan_flow_loss",
+    "sample_flow_sigmas",
+    "shift_sigmas",
+    "init_lora_params",
+    "apply_lora",
+    "make_lora_loss",
+    "to_peft_state",
+    "DEFAULT_TARGETS",
+    "COGVIDEOX_PEFT_PATHS",
+]

@@ -1,0 +1,146 @@
+"""LoRA fine-tuning: trainable low-rank adapters over frozen base params.
+
+Complements :mod:`alg_tpu.io.lora` (which MERGES externally-trained
+diffusers/peft adapters for inference): here the adapters are the training
+variables. ``W_eff = W + (α/r)·A@B`` with ``A ~ N(0, 1/r)`` and ``B = 0``
+(peft init — the adapted model starts exactly at the base model), gradients
+flow only through A/B, and the frozen base tree is a closure constant —
+optimizer state is O(rank), not O(params).
+
+Adapters address target linears generically by param-tree path: any ``dict``
+node holding a ``"kernel"`` whose name is in ``targets``. Weight-stacked
+scan blocks (kernels ``[L, in, out]``) get stacked adapters ``A [L, in, r]``
+/ ``B [L, r, out]`` — one independent adapter per layer, matching what
+peft's per-layer modules produce, and ``jnp.matmul`` batches the leading
+axis for free.
+
+Trained adapters export to the peft layout that :mod:`alg_tpu.io.lora`
+consumes (``to_peft_state``), so an adapter trained here can be merged into
+any pipeline via the existing ``merge_lora_*`` entry points — round-trip
+tested.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# attention/MLP projections across all three DiT families (partition.py names)
+DEFAULT_TARGETS: Tuple[str, ...] = (
+    "to_q", "to_k", "to_v", "to_out",
+    "add_q_proj", "add_k_proj", "add_v_proj", "to_add_out",
+    "fc_in", "fc_out", "proj_mlp", "proj_out",
+)
+
+
+def _target_kernels(params, targets: Sequence[str]):
+    """[(path_keys, kernel_leaf)] for every targeted linear in the tree."""
+    out = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        if len(keys) >= 2 and keys[-1] == "kernel" and keys[-2] in targets:
+            out.append((keys[:-1], leaf))
+    return out
+
+
+def init_lora_params(
+    key,
+    params,
+    rank: int = 8,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """``{"path/to/module": {"A": [..., in, r], "B": [..., r, out]}}``."""
+    loras = {}
+    for i, (mod_path, w) in enumerate(_target_kernels(params, targets)):
+        lead, kin, kout = w.shape[:-2], w.shape[-2], w.shape[-1]
+        a = jax.random.normal(
+            jax.random.fold_in(key, i), lead + (kin, rank), jnp.float32
+        ) * (1.0 / rank)
+        b = jnp.zeros(lead + (rank, kout), jnp.float32)
+        loras["/".join(mod_path)] = {"A": a, "B": b}
+    if not loras:
+        raise ValueError(f"no kernels matched targets {tuple(targets)}")
+    return loras
+
+
+def apply_lora(params, loras, scale: float = 1.0):
+    """Return a param tree with ``W + scale·A@B`` at every adapted kernel.
+
+    Differentiable in ``loras`` (the path LoRA training takes); the base
+    stays untouched. ``scale`` is ``α/r`` in peft terms. The delta is
+    computed in fp32 and cast to the kernel dtype.
+    """
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            out = {k: rec(v, prefix + (k,)) for k, v in node.items()}
+            lp = loras.get("/".join(prefix)) if "kernel" in out else None
+            if lp is not None:
+                delta = jnp.matmul(lp["A"], lp["B"]) * scale
+                out["kernel"] = out["kernel"] + delta.astype(out["kernel"].dtype)
+            return out
+        return node
+
+    return rec(params, ())
+
+
+def make_lora_loss(
+    loss_fn: Callable, base_params, scale: float = 1.0
+) -> Callable:
+    """``loss(loras, batch, key)`` — the full-params loss with the base
+    frozen in the closure; feed to :func:`alg_tpu.training.make_train_step`
+    with the LoRA tree as the trainable params."""
+
+    def lora_loss(loras, batch, key):
+        return loss_fn(apply_lora(base_params, loras, scale), batch, key)
+
+    return lora_loss
+
+
+def to_peft_state(
+    loras: Dict[str, Dict[str, jnp.ndarray]],
+    block_paths: Dict[str, str],
+    prefix: str = "transformer.",
+):
+    """Export trained adapters to the peft state-dict layout that
+    :func:`alg_tpu.io.lora.collect_lora_pairs` parses.
+
+    ``block_paths`` maps the stacked-tree module path (e.g.
+    ``"blocks/attn/to_q"``) to the diffusers module-name TEMPLATE with ``{i}``
+    for the layer index (e.g. ``"transformer_blocks.{i}.attn1.to_q"``).
+    Stacked adapters ``[L, in, r]`` expand to per-layer entries. peft stores
+    ``lora_A.weight [r, in]`` / ``lora_B.weight [out, r]`` (torch [out, in]
+    convention) — transposed from our [in, r]/[r, out].
+    """
+    import numpy as np
+
+    state = {}
+    for path, ab in loras.items():
+        template = block_paths.get(path)
+        if template is None:
+            raise KeyError(f"no diffusers module template for adapter {path!r}")
+        a, b = np.asarray(ab["A"]), np.asarray(ab["B"])
+        if a.ndim == 3:
+            for i in range(a.shape[0]):
+                name = prefix + template.format(i=i)
+                state[f"{name}.lora_A.weight"] = a[i].T
+                state[f"{name}.lora_B.weight"] = b[i].T
+        else:
+            name = prefix + template.format(i=0)
+            state[f"{name}.lora_A.weight"] = a.T
+            state[f"{name}.lora_B.weight"] = b.T
+    return state
+
+
+# stacked-tree path → diffusers module template, per family (inverse of the
+# io/lora.py block maps, restricted to the linears LoRA typically adapts)
+COGVIDEOX_PEFT_PATHS = {
+    "blocks/attn/to_q": "transformer_blocks.{i}.attn1.to_q",
+    "blocks/attn/to_k": "transformer_blocks.{i}.attn1.to_k",
+    "blocks/attn/to_v": "transformer_blocks.{i}.attn1.to_v",
+    "blocks/attn/to_out": "transformer_blocks.{i}.attn1.to_out.0",
+    "blocks/ff/fc_in": "transformer_blocks.{i}.ff.net.0.proj",
+    "blocks/ff/fc_out": "transformer_blocks.{i}.ff.net.2",
+}

@@ -1,0 +1,142 @@
+"""Optax train step: single-chip or mesh-sharded, remat, grad accumulation.
+
+TPU-native training loop design:
+
+* **One jitted step.** ``(params, opt_state, batch, key) → (params,
+  opt_state, metrics)`` — value_and_grad over the loss, optional
+  micro-batch gradient accumulation via ``lax.scan``, global-norm clip,
+  AdamW update. Params and optimizer state are donated, so the update is
+  in-place in HBM.
+* **Remat.** ``TrainConfig(remat=True)`` wraps the loss so every (re)trace
+  happens under :func:`alg_tpu.core.remat.remat_blocks` — the DiT block
+  scans checkpoint their bodies and activation memory becomes O(1) in
+  depth (42-layer CogVideoX backward fits where the naive graph cannot).
+* **Sharding.** :func:`make_sharded_train_step` reuses the inference TP
+  partition specs (``sharding/partition.py``) for params; AdamW's ``mu``/
+  ``nu`` mirror the param tree, so initializing the optimizer under ``jit``
+  from already-sharded params makes XLA lay the moments out identically —
+  no second spec tree needed. Batches shard their leading axis over ``dp``;
+  GSPMD inserts the gradient all-reduces (dp) and the Megatron collectives
+  (tp) from those placements alone.
+
+The reference has no training subsystem (SURVEY §0) — this is beyond-parity
+surface, built so fine-tuned params drop straight into the shipped samplers
+(same pytrees, same partition specs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from alg_tpu.core.remat import remat_blocks
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-5
+    b1: float = 0.9
+    b2: float = 0.95
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0  # global-norm clip; <=0 disables
+    accum_steps: int = 1  # micro-batch gradient accumulation factor
+    remat: bool = False  # checkpoint DiT block bodies (O(1)-in-depth memory)
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    txs = []
+    if tc.grad_clip and tc.grad_clip > 0:
+        txs.append(optax.clip_by_global_norm(tc.grad_clip))
+    txs.append(
+        optax.adamw(
+            tc.learning_rate, b1=tc.b1, b2=tc.b2, eps=tc.eps,
+            weight_decay=tc.weight_decay,
+        )
+    )
+    return optax.chain(*txs)
+
+
+def make_train_step(loss_fn: Callable, tc: TrainConfig):
+    """Build ``(train_step, optimizer)`` from ``loss_fn(params, batch, key)``.
+
+    ``train_step(params, opt_state, batch, key) → (params, opt_state,
+    {"loss", "grad_norm"})`` is pure and jittable. With ``accum_steps > 1``
+    the batch's leading axis must divide by it; micro-batches run serially
+    under ``lax.scan`` (each with its own noise/timestep draw), and the
+    applied gradient is the mean over micro-batches — same expectation as
+    the big batch at 1/accum the activation memory.
+    """
+    if tc.remat:
+        inner = loss_fn
+
+        def loss_fn(params, batch, key):  # noqa: F811 — deliberate rebind
+            with remat_blocks():
+                return inner(params, batch, key)
+
+    opt = make_optimizer(tc)
+
+    def value_and_grads(params, batch, key):
+        if tc.accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(params, batch, key)
+
+        def split_micro(x):
+            b = x.shape[0]
+            if b % tc.accum_steps:
+                raise ValueError(
+                    f"batch axis {b} not divisible by accum_steps={tc.accum_steps}"
+                )
+            return x.reshape((tc.accum_steps, b // tc.accum_steps) + x.shape[1:])
+
+        micro = jax.tree.map(split_micro, batch)
+        keys = jax.random.split(key, tc.accum_steps)
+
+        def body(carry, xs):
+            loss_acc, g_acc = carry
+            mb, k = xs
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb, k)
+            return (loss_acc + loss, jax.tree.map(jnp.add, g_acc, grads)), ()
+
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype), params)
+        (loss, grads), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32), zeros), (micro, keys))
+        inv = 1.0 / tc.accum_steps
+        return loss * inv, jax.tree.map(lambda g: g * inv, grads)
+
+    def train_step(params, opt_state, batch, key):
+        loss, grads = value_and_grads(params, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return params, opt_state, metrics
+
+    return train_step, opt
+
+
+def shard_batch(batch, mesh):
+    """Place a host batch pytree on the mesh, leading axis over ``dp``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_sharded_train_step(loss_fn: Callable, tc: TrainConfig, mesh, params, param_specs):
+    """Mesh-sharded training: returns ``(jitted_step, params, opt_state)``.
+
+    ``params`` are placed per ``param_specs`` (the inference TP specs —
+    row/column-parallel kernels over ``tp``, replicated elsewhere);
+    ``opt.init`` runs under jit on the sharded params so AdamW moments
+    inherit the exact same layout. The returned step donates params and
+    optimizer state. Feed it batches through :func:`shard_batch`.
+    """
+    from alg_tpu.sharding.partition import shard_params
+
+    step, opt = make_train_step(loss_fn, tc)
+    params = shard_params(params, param_specs, mesh)
+    opt_state = jax.jit(opt.init)(params)
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    return jstep, params, opt_state

@@ -1,0 +1,237 @@
+"""Training tier tests (beyond-parity: the reference is inference-only).
+
+Covers: loss descent (overfit a fixed tiny batch) for all three family
+objectives, remat numerics, gradient-accumulation equivalence, mesh-sharded
+train step vs single-device, and LoRA fine-tuning (frozen base, peft-layout
+round-trip through io/lora's merge path).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from alg_tpu.models.cogvideox import CogVideoXTransformerConfig, init_cogvideox_transformer
+from alg_tpu.training import (
+    TrainConfig,
+    apply_lora,
+    init_lora_params,
+    make_cogvideox_vpred_loss,
+    make_hunyuan_flow_loss,
+    make_lora_loss,
+    make_sharded_train_step,
+    make_train_step,
+    make_wan_flow_loss,
+    shard_batch,
+    to_peft_state,
+)
+
+def _tiny_cog_cfg(num_layers=2, heads=4):
+    return CogVideoXTransformerConfig(
+        num_attention_heads=heads, attention_head_dim=16, in_channels=8,
+        out_channels=4, time_embed_dim=16, text_embed_dim=12, num_layers=num_layers,
+        sample_height=4, sample_width=4, max_text_seq_length=4,
+        use_rotary_positional_embeddings=False,
+    )
+
+
+def _cog_batch(b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "latents": jnp.asarray(rng.randn(b, 2, 4, 8, 8).astype(np.float32)),
+        "image_latents": jnp.asarray(rng.randn(b, 2, 4, 8, 8).astype(np.float32)),
+        "encoder_hidden_states": jnp.asarray(rng.randn(b, 3, 12).astype(np.float32)),
+    }
+
+
+def _run_steps(step, params, opt_state, batch, n, seed=0):
+    losses = []
+    for i in range(n):
+        params, opt_state, m = step(params, opt_state, batch, jax.random.fold_in(jax.random.PRNGKey(seed), i))
+        losses.append(float(m["loss"]))
+    return params, opt_state, losses
+
+
+def test_cogvideox_vpred_overfit():
+    cfg = _tiny_cog_cfg()
+    params = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    step, opt = make_train_step(loss_fn, TrainConfig(learning_rate=2e-3))
+    step = jax.jit(step)
+    opt_state = opt.init(params)
+    batch = _cog_batch()
+    _, _, losses = _run_steps(step, params, opt_state, batch, 40)
+    assert np.isfinite(losses).all()
+    # fixed batch + per-step fresh noise: the DiT learns the v-target structure
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5]), losses
+
+
+def test_remat_matches_no_remat():
+    cfg = _tiny_cog_cfg()
+    params = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    batch = _cog_batch()
+    key = jax.random.PRNGKey(3)
+
+    step_a, opt = make_train_step(loss_fn, TrainConfig())
+    step_b, _ = make_train_step(loss_fn, TrainConfig(remat=True))
+    opt_state = opt.init(params)
+    pa, _, ma = jax.jit(step_a)(params, opt_state, batch, key)
+    pb, _, mb = jax.jit(step_b)(params, opt_state, batch, key)
+    assert np.allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_grad_accumulation_matches_explicit_mean():
+    """accum_steps=2 == mean of the two micro-batch grads (same keys) fed to
+    the same optimizer."""
+    import optax
+
+    cfg = _tiny_cog_cfg(num_layers=1)
+    params = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    # large eps: AdamW's update is sign-like (lr·g/(√g²+eps)), so leaves with
+    # ~1e-10 noise-level grads would flip update signs between the two
+    # evaluation orders; eps=1e-2 makes noise-grad updates negligible while
+    # real grads still produce comparable updates.
+    tc = TrainConfig(learning_rate=1e-3, accum_steps=2, eps=1e-2)
+    step, opt = make_train_step(loss_fn, tc)
+    opt_state = opt.init(params)
+    batch = _cog_batch(b=4)
+    key = jax.random.PRNGKey(9)
+    p_acc, _, m_acc = jax.jit(step)(params, opt_state, batch, key)
+
+    # explicit: micro-batches are the leading-axis halves, keys = split(key, 2)
+    keys = jax.random.split(key, 2)
+    micro = jax.tree.map(lambda x: x.reshape((2, 2) + x.shape[1:]), batch)
+    grads, losses = [], []
+    for i in range(2):
+        mb = jax.tree.map(lambda x: x[i], micro)
+        l, g = jax.value_and_grad(loss_fn)(params, mb, keys[i])
+        losses.append(l)
+        grads.append(g)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+    updates, _ = opt.update(g_mean, opt_state, params)
+    p_ref = optax.apply_updates(params, updates)
+
+    assert np.allclose(float(m_acc["loss"]), float((losses[0] + losses[1]) / 2), rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_wan_flow_overfit():
+    from alg_tpu.models.wan import WanTransformerConfig, init_wan_transformer
+
+    cfg = WanTransformerConfig(
+        num_attention_heads=2, attention_head_dim=12, in_channels=12, out_channels=4,
+        num_layers=2, ffn_dim=32, freq_dim=16, text_dim=8, image_dim=10,
+    )
+    params = init_wan_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    batch = {
+        "latents": jnp.asarray(rng.randn(2, 4, 2, 8, 8).astype(np.float32)),
+        "condition": jnp.asarray(rng.randn(2, 8, 2, 8, 8).astype(np.float32)),
+        "encoder_hidden_states": jnp.asarray(rng.randn(2, 5, 8).astype(np.float32)),
+        "encoder_hidden_states_image": jnp.asarray(rng.randn(2, 5, 10).astype(np.float32)),
+    }
+    loss_fn = make_wan_flow_loss(cfg, shift=5.0)
+    step, opt = make_train_step(loss_fn, TrainConfig(learning_rate=2e-3))
+    _, _, losses = _run_steps(jax.jit(step), params, opt.init(params), batch, 40)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5]), losses
+
+
+def test_hunyuan_flow_overfit_token_replace():
+    from alg_tpu.models.hunyuan import (
+        HunyuanVideoTransformerConfig,
+        init_hunyuan_transformer,
+    )
+
+    cfg = HunyuanVideoTransformerConfig(
+        in_channels=4, out_channels=4, num_attention_heads=2, attention_head_dim=8,
+        num_layers=1, num_single_layers=1, num_refiner_layers=1, mlp_ratio=2.0,
+        text_embed_dim=12, pooled_projection_dim=6, rope_axes_dim=(2, 4, 2),
+    )
+    assert cfg.image_condition_type == "token_replace"
+    params = init_hunyuan_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(2)
+    batch = {
+        "latents": jnp.asarray(rng.randn(2, 4, 2, 8, 8).astype(np.float32)),
+        "image_latents": jnp.asarray(rng.randn(2, 4, 1, 8, 8).astype(np.float32)),
+        "encoder_hidden_states": jnp.asarray(rng.randn(2, 5, 12).astype(np.float32)),
+        "encoder_attention_mask": jnp.asarray(np.ones((2, 5), np.int32)),
+        "pooled_projections": jnp.asarray(rng.randn(2, 6).astype(np.float32)),
+    }
+    loss_fn = make_hunyuan_flow_loss(cfg, shift=7.0)
+    step, opt = make_train_step(loss_fn, TrainConfig(learning_rate=5e-3))
+    _, _, losses = _run_steps(jax.jit(step), params, opt.init(params), batch, 80)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.75 * np.mean(losses[:5]), losses
+
+
+def test_sharded_train_step_matches_single_device():
+    """dp=2 × tp=2 mesh-sharded train step == unsharded, 2 steps."""
+    from alg_tpu.sharding import make_mesh
+    from alg_tpu.sharding.partition import cogvideox_transformer_specs
+
+    cfg = _tiny_cog_cfg()
+    params = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    tc = TrainConfig(learning_rate=1e-3, eps=1e-2)  # see accumulation test on eps
+    batch = _cog_batch(b=2)
+
+    step, opt = make_train_step(loss_fn, tc)
+    p_ref, o_ref, losses_ref = _run_steps(jax.jit(step), params, opt.init(params), batch, 2, seed=5)
+
+    cpus = jax.local_devices(backend="cpu")
+    mesh = make_mesh(dp=2, sp=1, tp=2, devices=cpus[:4])
+    specs = cogvideox_transformer_specs(params)
+    with mesh:
+        jstep, p_sh, o_sh = make_sharded_train_step(loss_fn, tc, mesh, params, specs)
+        b_sh = shard_batch(batch, mesh)
+        losses_sh = []
+        for i in range(2):
+            p_sh, o_sh, m = jstep(p_sh, o_sh, b_sh, jax.random.fold_in(jax.random.PRNGKey(5), i))
+            losses_sh.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses_sh, losses_ref, rtol=1e-5)
+    for la, lb in zip(jax.tree.leaves(p_sh), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5)
+
+
+def test_lora_training_freezes_base_and_roundtrips_to_peft():
+    from alg_tpu.io.lora import merge_lora_cogvideox
+    from alg_tpu.training import COGVIDEOX_PEFT_PATHS
+
+    cfg = _tiny_cog_cfg()
+    base = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    base_copy = jax.tree.map(lambda x: np.asarray(x).copy(), base)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    batch = _cog_batch()
+
+    loras = init_lora_params(jax.random.PRNGKey(1), base, rank=4,
+                             targets=("to_q", "to_k", "to_v", "to_out", "fc_in", "fc_out"))
+    # B = 0 ⇒ adapted model starts exactly at the base model
+    k = jax.random.PRNGKey(2)
+    l_base = float(loss_fn(base, batch, k))
+    l_lora0 = float(make_lora_loss(loss_fn, base)(loras, batch, k))
+    assert np.allclose(l_base, l_lora0, rtol=1e-6)
+
+    # B=0 at init makes dL/dA zero on step 1 (grads flow through B first), so
+    # descent starts slowly — more steps, higher lr than the full-params test.
+    step, opt = make_train_step(make_lora_loss(loss_fn, base), TrainConfig(learning_rate=1e-2, weight_decay=0.0))
+    loras_t, _, losses = _run_steps(jax.jit(step), loras, opt.init(loras), batch, 60)
+    assert np.mean(losses[-5:]) < 0.9 * np.mean(losses[:5]), losses
+    # the base tree never moves
+    for la, lb in zip(jax.tree.leaves(base), jax.tree.leaves(base_copy)):
+        np.testing.assert_array_equal(np.asarray(la), lb)
+    # adapters actually trained
+    assert any(float(jnp.abs(ab["B"]).max()) > 0 for ab in loras_t.values())
+
+    # peft export → io/lora merge == apply_lora
+    state = to_peft_state(loras_t, COGVIDEOX_PEFT_PATHS)
+    merged_io = merge_lora_cogvideox(jax.tree.map(jnp.asarray, base), state, scale=1.0)
+    merged_tr = apply_lora(base, loras_t, scale=1.0)
+    for la, lb in zip(jax.tree.leaves(merged_io), jax.tree.leaves(merged_tr)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
