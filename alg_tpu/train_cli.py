@@ -1,0 +1,297 @@
+"""Fine-tuning CLI — ``alg-tpu-train`` (beyond-parity; reference is
+inference-only, SURVEY §0/§5).
+
+LoRA (default) or full fine-tuning of any of the three DiT families on
+precomputed **latent batches**: the standard video fine-tune recipe keeps
+the VAE and text encoders frozen, so training data is a directory of
+``.npz`` files, one example each, with the loss's batch keys (see
+``alg_tpu/training/losses.py``):
+
+* cogvideox: ``latents [F,C,H,W]``, ``image_latents [F,C,H,W]``,
+  ``encoder_hidden_states [S,text_dim]``
+* wan: ``latents [C,F,h,w]``, ``condition [20,F,h,w]``,
+  ``encoder_hidden_states [S,text_dim]``
+  (+ optional ``encoder_hidden_states_image``)
+* hunyuan: ``latents [C,F,h,w]``, ``image_latents [C,1,h,w]``,
+  ``encoder_hidden_states [S,text_dim]``, ``encoder_attention_mask [S]``,
+  ``pooled_projections [P]``
+
+``--synthetic N`` generates N random examples shaped by the model config
+and the YAML's ``generation`` section instead — a smoke path for CI and for
+validating a run configuration before committing real data.
+
+LoRA adapters are saved as a **peft-layout** ``.npz`` that the inference
+LoRA loader (``alg_tpu.io.lora.merge_lora_*`` / the pipelines' ``lora``
+hook) merges directly; full fine-tunes save a path-keyed param-tree ``.npz``
+(``alg_tpu.training.train.load_params_npz``). Model loading reuses the
+serving CLI's family dispatch (``alg_tpu.cli.load_pipeline``), so the same
+YAML config drives generation, serving, and fine-tuning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s", stream=sys.stdout)
+logger = logging.getLogger(__name__)
+
+
+def _latent_geometry(family: str, example: dict):
+    """(latent_frames, latent_h, latent_w) from one example."""
+    lat = example["latents"]
+    if family == "cogvideox":  # [F, C, H, W]
+        return lat.shape[0], lat.shape[2], lat.shape[3]
+    return lat.shape[1], lat.shape[2], lat.shape[3]  # [C, F, h, w]
+
+
+def build_loss(pipe, family: str, args, geom):
+    """Family loss closed over rope tables for the data's latent geometry."""
+    import jax.numpy as jnp
+
+    from alg_tpu.training import (
+        make_cogvideox_vpred_loss,
+        make_hunyuan_flow_loss,
+        make_wan_flow_loss,
+    )
+
+    cd = jnp.bfloat16 if args.compute_dtype == "bfloat16" else None
+    tcfg = pipe.transformer_cfg
+    f, h, w = geom
+    if family == "cogvideox":
+        cos = sin = None
+        if tcfg.use_rotary_positional_embeddings:
+            from alg_tpu.models.cogvideox import cogvideox_rope
+
+            cos, sin = cogvideox_rope(tcfg, h * 8, w * 8, f)
+        return make_cogvideox_vpred_loss(tcfg, rope_cos=cos, rope_sin=sin, compute_dtype=cd)
+    if family == "wan":
+        from alg_tpu.models.wan import wan_rope
+
+        cos, sin = wan_rope(tcfg, f, h, w)
+        return make_wan_flow_loss(
+            tcfg, shift=args.shift if args.shift is not None else 5.0,
+            rope_cos=cos, rope_sin=sin, compute_dtype=cd,
+        )
+    if family == "hunyuan":
+        from alg_tpu.models.hunyuan import hunyuan_rope
+
+        cos, sin = hunyuan_rope(tcfg, f, h, w)
+        g = pipe_guidance_scale(args)
+        return make_hunyuan_flow_loss(
+            tcfg, shift=args.shift if args.shift is not None else 7.0,
+            guidance_scale=g, rope_cos=cos, rope_sin=sin, compute_dtype=cd,
+        )
+    raise ValueError(family)  # pragma: no cover
+
+
+def pipe_guidance_scale(args) -> float:
+    g = args.cfg_generation.get("guidance_scale")
+    return float(g) if g is not None else 6.0
+
+
+def synth_examples(family: str, pipe, n: int, gen: dict, seed: int):
+    """Random latent-space examples shaped by the model config + generation
+    section (VAE 8x spatial / 4x temporal factors, all three families)."""
+    tcfg = pipe.transformer_cfg
+    height = int(gen.get("height") or 32)
+    width = int(gen.get("width") or 32)
+    frames = int(gen.get("num_frames") or 5)
+    max_seq = int(gen.get("max_sequence_length") or 16)
+    f, h, w = (frames - 1) // 4 + 1, height // 8, width // 8
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        if family == "cogvideox":
+            c = tcfg.out_channels
+            out.append({
+                "latents": rng.randn(f, c, h, w).astype(np.float32),
+                "image_latents": rng.randn(f, tcfg.in_channels - c, h, w).astype(np.float32),
+                "encoder_hidden_states": rng.randn(max_seq, tcfg.text_embed_dim).astype(np.float32),
+            })
+        elif family == "wan":
+            c = tcfg.out_channels
+            ex = {
+                "latents": rng.randn(c, f, h, w).astype(np.float32),
+                "condition": rng.randn(tcfg.in_channels - c, f, h, w).astype(np.float32),
+                "encoder_hidden_states": rng.randn(max_seq, tcfg.text_dim).astype(np.float32),
+            }
+            if tcfg.image_dim is not None:
+                ex["encoder_hidden_states_image"] = rng.randn(5, tcfg.image_dim).astype(np.float32)
+            out.append(ex)
+        elif family == "hunyuan":
+            c = tcfg.out_channels
+            out.append({
+                "latents": rng.randn(c, f, h, w).astype(np.float32),
+                "image_latents": rng.randn(c, 1, h, w).astype(np.float32),
+                "encoder_hidden_states": rng.randn(max_seq, tcfg.text_embed_dim).astype(np.float32),
+                "encoder_attention_mask": np.ones(max_seq, np.int32),
+                "pooled_projections": rng.randn(tcfg.pooled_projection_dim).astype(np.float32),
+            })
+        else:  # pragma: no cover
+            raise ValueError(family)
+    return out
+
+
+def load_examples(data_dir: str):
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not files:
+        raise FileNotFoundError(f"no .npz examples under {data_dir}")
+    out = []
+    for path in files:
+        with np.load(path) as z:
+            out.append({k: z[k] for k in z.files})
+    return out
+
+
+def batches(examples, batch_size: int, steps: int, seed: int):
+    """Shuffled epochs over the examples, stacked into batches, forever-ish."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    order: list = []
+    for _ in range(steps):
+        while len(order) < batch_size:
+            epoch = list(range(len(examples)))
+            rng.shuffle(epoch)
+            order.extend(epoch)
+        idx, order = order[:batch_size], order[batch_size:]
+        keys = examples[0].keys()
+        yield {k: jnp.asarray(np.stack([examples[i][k] for i in idx])) for k in keys}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="alg-tpu fine-tuning (LoRA or full)")
+    parser.add_argument("--config", type=str, required=True, help="run.py-style YAML (model/generation sections)")
+    parser.add_argument("--model_cache_dir", type=str, default=None)
+    parser.add_argument("--data", type=str, default=None, help="directory of per-example .npz files")
+    parser.add_argument("--synthetic", type=int, default=0, help="train on N random examples instead of --data")
+    parser.add_argument("--mode", choices=("lora", "full"), default="lora")
+    parser.add_argument("--rank", type=int, default=16, help="LoRA rank")
+    parser.add_argument("--lora_scale", type=float, default=1.0, help="alpha/rank scale applied at merge")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--grad_clip", type=float, default=1.0)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--accum", type=int, default=1, help="gradient accumulation micro-steps")
+    parser.add_argument("--remat", action="store_true", help="checkpoint DiT blocks (O(1)-in-depth memory)")
+    parser.add_argument("--compute_dtype", choices=("float32", "bfloat16"), default="float32")
+    parser.add_argument("--shift", type=float, default=None, help="flow-matching timestep shift (default: family)")
+    parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (full mode)")
+    parser.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis (full mode)")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--log_every", type=int, default=10)
+    parser.add_argument("--output", type=str, required=True, help=".npz output (peft adapters | param tree)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from alg_tpu.cli import load_pipeline
+    from alg_tpu.core.config import load_run_config
+    from alg_tpu.core.device import enable_compilation_cache
+    from alg_tpu.training import (
+        FAMILY_PEFT,
+        TrainConfig,
+        init_lora_params,
+        make_lora_loss,
+        make_sharded_train_step,
+        make_train_step,
+        shard_batch,
+        to_peft_state,
+    )
+    from alg_tpu.training.train import save_params_npz
+
+    enable_compilation_cache()
+    cfg = load_run_config(args.config)
+    args.cfg_generation = cfg.generation
+    family = cfg.family
+    pipe = load_pipeline(cfg, args.model_cache_dir)
+    logger.info("Loaded %s pipeline for fine-tuning (%s mode)", family, args.mode)
+
+    if args.synthetic:
+        examples = synth_examples(family, pipe, args.synthetic, cfg.generation, args.seed)
+        logger.info("Synthetic data: %d examples", len(examples))
+    elif args.data:
+        examples = load_examples(args.data)
+        logger.info("Loaded %d examples from %s", len(examples), args.data)
+    else:
+        parser.error("one of --data or --synthetic is required")
+
+    geom = _latent_geometry(family, examples[0])
+    loss_fn = build_loss(pipe, family, args, geom)
+    tc = TrainConfig(
+        learning_rate=args.lr, weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        accum_steps=args.accum, remat=args.remat,
+    )
+
+    base = pipe.transformer_params
+    mesh = None
+    if args.mode == "lora":
+        prefixes, peft_paths = FAMILY_PEFT[family]
+        trainable = init_lora_params(
+            jax.random.PRNGKey(args.seed), base, rank=args.rank, prefixes=prefixes
+        )
+        n_adapted = len(trainable)
+        step, opt = make_train_step(make_lora_loss(loss_fn, base, scale=args.lora_scale), tc)
+        opt_state = opt.init(trainable)
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+        logger.info("LoRA: rank %d over %d modules", args.rank, n_adapted)
+    else:
+        trainable = base
+        if args.dp * args.tp > 1:
+            from alg_tpu.sharding import make_mesh
+            from alg_tpu.sharding.partition import (
+                cogvideox_transformer_specs,
+                hunyuan_transformer_specs,
+                wan_transformer_specs,
+            )
+
+            specs = {
+                "cogvideox": cogvideox_transformer_specs,
+                "wan": wan_transformer_specs,
+                "hunyuan": hunyuan_transformer_specs,
+            }[family](base)
+            mesh = make_mesh(dp=args.dp, sp=1, tp=args.tp)
+            jstep, trainable, opt_state = make_sharded_train_step(loss_fn, tc, mesh, base, specs)
+        else:
+            step, opt = make_train_step(loss_fn, tc)
+            opt_state = opt.init(trainable)
+            jstep = jax.jit(step, donate_argnums=(0, 1))
+
+    t0 = time.perf_counter()
+    for i, batch in enumerate(batches(examples, args.batch_size, args.steps, args.seed)):
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        trainable, opt_state, m = jstep(
+            trainable, opt_state, batch, jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        )
+        if i % args.log_every == 0 or i == args.steps - 1:
+            loss = float(m["loss"])  # device fetch — also the axon sync point
+            logger.info(
+                "step %d/%d  loss %.5f  grad_norm %.4f  (%.2f s/step)",
+                i + 1, args.steps, loss, float(m["grad_norm"]),
+                (time.perf_counter() - t0) / (i + 1),
+            )
+            if not np.isfinite(loss):
+                raise RuntimeError(f"non-finite loss at step {i + 1}")
+
+    if args.mode == "lora":
+        state = to_peft_state(trainable, FAMILY_PEFT[family][1])
+        np.savez(args.output, **state)
+        logger.info("Saved %d peft tensors to %s (merge via alg_tpu.io.lora)", len(state), args.output)
+    else:
+        save_params_npz(args.output, trainable)
+        logger.info("Saved fine-tuned param tree to %s", args.output)
+    logger.info("Training complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,9 @@ from alg_tpu.training.losses import (
 from alg_tpu.training.lora import (
     COGVIDEOX_PEFT_PATHS,
     DEFAULT_TARGETS,
+    FAMILY_PEFT,
+    HUNYUAN_PEFT_PATHS,
+    WAN_PEFT_PATHS,
     apply_lora,
     init_lora_params,
     make_lora_loss,
@@ -23,9 +26,11 @@ from alg_tpu.training.lora import (
 )
 from alg_tpu.training.train import (
     TrainConfig,
+    load_params_npz,
     make_optimizer,
     make_sharded_train_step,
     make_train_step,
+    save_params_npz,
     shard_batch,
 )
 
@@ -35,6 +40,8 @@ __all__ = [
     "make_train_step",
     "make_sharded_train_step",
     "shard_batch",
+    "save_params_npz",
+    "load_params_npz",
     "make_cogvideox_vpred_loss",
     "make_wan_flow_loss",
     "make_hunyuan_flow_loss",
@@ -46,4 +53,7 @@ __all__ = [
     "to_peft_state",
     "DEFAULT_TARGETS",
     "COGVIDEOX_PEFT_PATHS",
+    "WAN_PEFT_PATHS",
+    "HUNYUAN_PEFT_PATHS",
+    "FAMILY_PEFT",
 ]

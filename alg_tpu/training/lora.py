@@ -35,12 +35,14 @@ DEFAULT_TARGETS: Tuple[str, ...] = (
 )
 
 
-def _target_kernels(params, targets: Sequence[str]):
+def _target_kernels(params, targets: Sequence[str], prefixes=None):
     """[(path_keys, kernel_leaf)] for every targeted linear in the tree."""
     out = []
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         keys = tuple(str(getattr(p, "key", p)) for p in path)
         if len(keys) >= 2 and keys[-1] == "kernel" and keys[-2] in targets:
+            if prefixes is not None and keys[0] not in prefixes:
+                continue
             out.append((keys[:-1], leaf))
     return out
 
@@ -50,10 +52,16 @@ def init_lora_params(
     params,
     rank: int = 8,
     targets: Sequence[str] = DEFAULT_TARGETS,
+    prefixes: Sequence[str] = None,
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
-    """``{"path/to/module": {"A": [..., in, r], "B": [..., r, out]}}``."""
+    """``{"path/to/module": {"A": [..., in, r], "B": [..., r, out]}}``.
+
+    ``prefixes`` restricts adaptation to subtrees by first path key — e.g.
+    ``("blocks",)`` adapts the DiT block stack but not the output head or
+    (Hunyuan) the token-refiner, whose linears share target names.
+    """
     loras = {}
-    for i, (mod_path, w) in enumerate(_target_kernels(params, targets)):
+    for i, (mod_path, w) in enumerate(_target_kernels(params, targets, prefixes)):
         lead, kin, kout = w.shape[:-2], w.shape[-2], w.shape[-1]
         a = jax.random.normal(
             jax.random.fold_in(key, i), lead + (kin, rank), jnp.float32
@@ -143,4 +151,49 @@ COGVIDEOX_PEFT_PATHS = {
     "blocks/attn/to_out": "transformer_blocks.{i}.attn1.to_out.0",
     "blocks/ff/fc_in": "transformer_blocks.{i}.ff.net.0.proj",
     "blocks/ff/fc_out": "transformer_blocks.{i}.ff.net.2",
+}
+
+WAN_PEFT_PATHS = {
+    "blocks/attn1/to_q": "blocks.{i}.attn1.to_q",
+    "blocks/attn1/to_k": "blocks.{i}.attn1.to_k",
+    "blocks/attn1/to_v": "blocks.{i}.attn1.to_v",
+    "blocks/attn1/to_out": "blocks.{i}.attn1.to_out.0",
+    "blocks/attn2/to_q": "blocks.{i}.attn2.to_q",
+    "blocks/attn2/to_k": "blocks.{i}.attn2.to_k",
+    "blocks/attn2/to_v": "blocks.{i}.attn2.to_v",
+    "blocks/attn2/to_out": "blocks.{i}.attn2.to_out.0",
+    "blocks/attn2/add_k_proj": "blocks.{i}.attn2.add_k_proj",
+    "blocks/attn2/add_v_proj": "blocks.{i}.attn2.add_v_proj",
+    "blocks/ffn/fc_in": "blocks.{i}.ffn.net.0.proj",
+    "blocks/ffn/fc_out": "blocks.{i}.ffn.net.2",
+}
+
+HUNYUAN_PEFT_PATHS = {
+    "transformer_blocks/attn/to_q": "transformer_blocks.{i}.attn.to_q",
+    "transformer_blocks/attn/to_k": "transformer_blocks.{i}.attn.to_k",
+    "transformer_blocks/attn/to_v": "transformer_blocks.{i}.attn.to_v",
+    "transformer_blocks/attn/to_out": "transformer_blocks.{i}.attn.to_out.0",
+    "transformer_blocks/attn/add_q_proj": "transformer_blocks.{i}.attn.add_q_proj",
+    "transformer_blocks/attn/add_k_proj": "transformer_blocks.{i}.attn.add_k_proj",
+    "transformer_blocks/attn/add_v_proj": "transformer_blocks.{i}.attn.add_v_proj",
+    "transformer_blocks/attn/to_add_out": "transformer_blocks.{i}.attn.to_add_out",
+    "transformer_blocks/ff/fc_in": "transformer_blocks.{i}.ff.net.0.proj",
+    "transformer_blocks/ff/fc_out": "transformer_blocks.{i}.ff.net.2",
+    "transformer_blocks/ff_context/fc_in": "transformer_blocks.{i}.ff_context.net.0.proj",
+    "transformer_blocks/ff_context/fc_out": "transformer_blocks.{i}.ff_context.net.2",
+    "single_transformer_blocks/attn/to_q": "single_transformer_blocks.{i}.attn.to_q",
+    "single_transformer_blocks/attn/to_k": "single_transformer_blocks.{i}.attn.to_k",
+    "single_transformer_blocks/attn/to_v": "single_transformer_blocks.{i}.attn.to_v",
+    "single_transformer_blocks/proj_mlp": "single_transformer_blocks.{i}.proj_mlp",
+    "single_transformer_blocks/proj_out": "single_transformer_blocks.{i}.proj_out",
+}
+
+# adapter scope per family: (path prefixes, diffusers templates)
+FAMILY_PEFT = {
+    "cogvideox": (("blocks",), COGVIDEOX_PEFT_PATHS),
+    "wan": (("blocks",), WAN_PEFT_PATHS),
+    "hunyuan": (
+        ("transformer_blocks", "single_transformer_blocks"),
+        HUNYUAN_PEFT_PATHS,
+    ),
 }

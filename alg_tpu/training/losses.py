@@ -76,6 +76,16 @@ def _bcast(x: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return x.reshape(x.shape + (1,) * (ndim - x.ndim))
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves (mixed-precision compute); None = passthrough."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 # ---------------------------------------------------------------------------
 # CogVideoX — v-prediction
 # ---------------------------------------------------------------------------
@@ -87,11 +97,17 @@ def make_cogvideox_vpred_loss(
     rope_cos: Optional[np.ndarray] = None,
     rope_sin: Optional[np.ndarray] = None,
     num_train_timesteps: int = 1000,
+    compute_dtype=None,
 ):
     """``loss(params, batch, key)`` for CogVideoX v-prediction fine-tuning.
 
     batch: ``latents [B,F,C,H,W]`` (clean x₀), ``image_latents`` (zero-padded
     conditioning, same shape), ``encoder_hidden_states [B,S,text_dim]``.
+
+    ``compute_dtype=jnp.bfloat16`` is mixed-precision training: params stay
+    fp32 masters (AdamW moments too), the forward casts them — and the model
+    inputs — to bf16 at the loss boundary; autodiff upcasts gradients back
+    to fp32 through the cast. The target/MSE stay fp32 either way.
     """
     from alg_tpu.models.cogvideox import cogvideox_transformer
     from alg_tpu.schedulers import CogVideoXDDIMConfig
@@ -114,9 +130,12 @@ def make_cogvideox_vpred_loss(
         sb = _bcast(jnp.sqrt(1.0 - ac[t]), x0.ndim)
         xt = sa * x0f + sb * noise
         target = sa * noise - sb * x0f
-        model_in = jnp.concatenate([xt.astype(x0.dtype), cond], axis=2)
+        cd = compute_dtype or x0.dtype
+        model_in = jnp.concatenate([xt.astype(cd), cond.astype(cd)], axis=2)
         pred = cogvideox_transformer(
-            params, cfg, model_in, embeds, t.astype(jnp.float32), rope_cos, rope_sin
+            _cast_floats(params, compute_dtype), cfg, model_in,
+            _cast_floats(embeds, compute_dtype), t.astype(jnp.float32),
+            rope_cos, rope_sin,
         )
         return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
@@ -134,6 +153,7 @@ def make_wan_flow_loss(
     sampling: str = "logit_normal",
     rope_cos: Optional[np.ndarray] = None,
     rope_sin: Optional[np.ndarray] = None,
+    compute_dtype=None,
 ):
     """``loss(params, batch, key)`` for Wan flow-matching fine-tuning.
 
@@ -156,9 +176,12 @@ def make_wan_flow_loss(
         s = _bcast(sigma, x0.ndim)
         xt = (1.0 - s) * x0f + s * noise
         target = noise - x0f
-        model_in = jnp.concatenate([xt.astype(x0.dtype), cond.astype(x0.dtype)], axis=1)
+        cd = compute_dtype or x0.dtype
+        model_in = jnp.concatenate([xt.astype(cd), cond.astype(cd)], axis=1)
         pred = wan_transformer(
-            params, cfg, model_in, sigma * 1000.0, text, img, rope_cos, rope_sin
+            _cast_floats(params, compute_dtype), cfg, model_in, sigma * 1000.0,
+            _cast_floats(text, compute_dtype), _cast_floats(img, compute_dtype),
+            rope_cos, rope_sin,
         )
         return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
@@ -177,6 +200,7 @@ def make_hunyuan_flow_loss(
     guidance_scale: float = 6.0,
     rope_cos: Optional[np.ndarray] = None,
     rope_sin: Optional[np.ndarray] = None,
+    compute_dtype=None,
 ):
     """``loss(params, batch, key)`` for HunyuanVideo flow-matching fine-tuning.
 
@@ -206,19 +230,20 @@ def make_hunyuan_flow_loss(
         noise = jax.random.normal(kn, x0.shape, jnp.float32)
         x0f = x0.astype(jnp.float32)
         s = _bcast(sigma, x0.ndim)
-        xt = ((1.0 - s) * x0f + s * noise).astype(x0.dtype)
+        cd = compute_dtype or x0.dtype
+        xt = ((1.0 - s) * x0f + s * noise).astype(cd)
         target = noise - x0f
         if token_replace:
-            model_in = jnp.concatenate(
-                [image_latents.astype(x0.dtype), xt[:, :, 1:]], axis=2
-            )
+            model_in = jnp.concatenate([image_latents.astype(cd), xt[:, :, 1:]], axis=2)
         else:
             model_in = xt
         guidance = None
         if cfg.guidance_embeds:
             guidance = jnp.full((x0.shape[0],), guidance_scale * 1000.0, jnp.float32)
         pred = hunyuan_transformer(
-            params, cfg, model_in, sigma * 1000.0, text, mask, pooled,
+            _cast_floats(params, compute_dtype), cfg, model_in, sigma * 1000.0,
+            _cast_floats(text, compute_dtype), mask,
+            _cast_floats(pooled, compute_dtype),
             guidance=guidance, rope_cos=rope_cos, rope_sin=rope_sin,
         )
         err = (pred.astype(jnp.float32) - target) ** 2

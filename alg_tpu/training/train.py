@@ -124,6 +124,38 @@ def shard_batch(batch, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def save_params_npz(path: str, params) -> None:
+    """Save a param tree as a path-keyed ``.npz`` (keys ``a/b/c``)."""
+    import numpy as np
+
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    }
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str, like):
+    """Load a :func:`save_params_npz` file into the structure of ``like``
+    (shape/dtype template tree — e.g. the freshly-initialized params)."""
+    import numpy as np
+
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+
+    def pick(p, leaf):
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        arr = data.pop(key)
+        if arr.shape != leaf.shape:
+            raise ValueError(f"{key}: saved {arr.shape} != expected {leaf.shape}")
+        return jnp.asarray(arr, leaf.dtype)
+
+    out = jax.tree_util.tree_map_with_path(pick, like)
+    if data:
+        raise ValueError(f"unconsumed tensors in {path}: {sorted(data)[:5]}")
+    return out
+
+
 def make_sharded_train_step(loss_fn: Callable, tc: TrainConfig, mesh, params, param_specs):
     """Mesh-sharded training: returns ``(jitted_step, params, opt_state)``.
 
