@@ -319,14 +319,18 @@ def cogvideox_transformer(
     else:
         rc = rs = None
 
-    def body(carry, bp):
+    def body(carry, bp, ctx, consts):
         hdn, enc = carry
-        hdn, enc = _block(cfg, bp, hdn, enc, temb, rc, rs)
-        return (hdn, enc), ()
+        (temb_,) = ctx
+        rc_, rs_ = consts
+        hdn, enc = _block(cfg, bp, hdn, enc, temb_, rc_, rs_)
+        return hdn, enc
 
-    from alg_tpu.core.remat import maybe_checkpoint
+    from alg_tpu.sharding.pipeline import run_blocks
 
-    (video, text), _ = jax.lax.scan(maybe_checkpoint(body), (video, text), params["blocks"])
+    video, text = run_blocks(
+        body, (video, text), params["blocks"], ctx=(temb,), consts=(rc, rs)
+    )
 
     # final norm over the joint stream, then slice the video part
     joint = jnp.concatenate([text, video], axis=1)

@@ -300,14 +300,18 @@ def hunyuan_transformer(
         rc = rs = None
 
     def heads(t):
-        return t.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+        # batch derived from the input (not the closed-over b): bodies run on
+        # microbatches under pipeline parallelism (sharding/pipeline.py)
+        return t.reshape(t.shape[0], -1, nh, hd).transpose(0, 2, 1, 3)
 
     def unheads(t):
-        return t.transpose(0, 2, 1, 3).reshape(b, -1, dim)
+        return t.transpose(0, 2, 1, 3).reshape(t.shape[0], -1, dim)
 
     # ---- double-stream blocks
-    def double_fn(carry, bp):
+    def double_fn(carry, bp, ctx, consts):
         xx, tt = carry
+        temb, temb_tr, kv_len = ctx  # shadow the closures: ctx microbatches
+        rc, rs = consts  # under pipeline parallelism (sharding/pipeline.py)
         mod = L.linear(bp["norm1_linear"], L.silu(temb))
         mod_tr = L.linear(bp["norm1_linear"], L.silu(temb_tr)) if token_replace else None
         xn, g_msa, sc_mlp, s_mlp, g_mlp, tg_msa, tr_mlp, tg_mlp = _dual_modulate(
@@ -350,18 +354,22 @@ def hunyuan_transformer(
 
         tn2 = L.layer_norm({}, tt, 1e-6) * (1 + csc2) + cs2
         tt = tt + L.mlp(bp["ff_context"], tn2, act=L.gelu_tanh) * cg2
-        return (xx, tt), ()
+        return (xx, tt)
 
-    from alg_tpu.core.remat import maybe_checkpoint
+    from alg_tpu.sharding.pipeline import run_blocks
 
-    (x, text), _ = jax.lax.scan(
-        maybe_checkpoint(double_fn), (x, text), params["transformer_blocks"]
+    block_ctx = (temb, temb_tr, kv_len)
+    x, text = run_blocks(
+        double_fn, (x, text), params["transformer_blocks"],
+        ctx=block_ctx, consts=(rc, rs),
     )
 
     # ---- single-stream blocks over [video; text]
     joint = jnp.concatenate([x, text], axis=1)
 
-    def single_fn(xx, bp):
+    def single_fn(xx, bp, ctx, consts):
+        temb, temb_tr, kv_len = ctx  # shadow the closures (see double_fn)
+        rc, rs = consts
         mod = L.linear(bp["norm_linear"], L.silu(temb))
         s_, sc_, g_ = [m[:, None] for m in jnp.split(mod, 3, axis=-1)]
         if token_replace:
@@ -390,10 +398,11 @@ def hunyuan_transformer(
             xx = xx + jnp.concatenate([out[:, :n] * tg_, out[:, n:] * g_], axis=1)
         else:
             xx = xx + out * g_
-        return xx, ()
+        return xx
 
-    joint, _ = jax.lax.scan(
-        maybe_checkpoint(single_fn), joint, params["single_transformer_blocks"]
+    joint = run_blocks(
+        single_fn, joint, params["single_transformer_blocks"],
+        ctx=block_ctx, consts=(rc, rs),
     )
     x = joint[:, :seq_v]
 

@@ -206,23 +206,25 @@ def wan_transformer(
     rc = None if rope_cos is None else jnp.asarray(rope_cos, jnp.float32)
     rs = None if rope_sin is None else jnp.asarray(rope_sin, jnp.float32)
 
-    def block_fn(x, bp):
-        mod = bp["scale_shift_table"].astype(jnp.float32)[None] + temb6.astype(jnp.float32)
+    def block_fn(x, bp, ctx, consts):
+        temb6_, text_, img_ = ctx
+        rc_, rs_ = consts
+        mod = bp["scale_shift_table"].astype(jnp.float32)[None] + temb6_.astype(jnp.float32)
         shift, scale, gate, c_shift, c_scale, c_gate = [m.astype(x.dtype) for m in jnp.split(mod, 6, axis=1)]
 
         xn = L.layer_norm({}, x, cfg.eps) * (1 + scale) + shift
-        x = x + gate * _attn(bp["attn1"], cfg, xn, xn, rc, rs)
+        x = x + gate * _attn(bp["attn1"], cfg, xn, xn, rc_, rs_)
 
         xn = L.layer_norm(bp["norm2"], x, cfg.eps)
-        x = x + _attn(bp["attn2"], cfg, xn, text, extra_kv=img)
+        x = x + _attn(bp["attn2"], cfg, xn, text_, extra_kv=img_)
 
         xn = L.layer_norm({}, x, cfg.eps) * (1 + c_scale) + c_shift
         x = x + c_gate * L.mlp(bp["ffn"], xn, act=L.gelu_tanh)
-        return x, ()
+        return x
 
-    from alg_tpu.core.remat import maybe_checkpoint
+    from alg_tpu.sharding.pipeline import run_blocks
 
-    x, _ = jax.lax.scan(maybe_checkpoint(block_fn), x, params["blocks"])
+    x = run_blocks(block_fn, x, params["blocks"], ctx=(temb6, text, img), consts=(rc, rs))
 
     # output head: shift/scale from temb (not silu'd) + table
     head = params["scale_shift_table"].astype(jnp.float32)[None] + temb.astype(jnp.float32)[:, None]

@@ -6,13 +6,18 @@ from alg_tpu.sharding.multihost import (
     serve_batch_multihost,
 )
 from alg_tpu.sharding.partition import (
+    add_pp,
     cogvideox_transformer_specs,
     hunyuan_transformer_specs,
     shard_params,
     wan_transformer_specs,
 )
+from alg_tpu.sharding.pipeline import pipeline_blocks, run_blocks
 
 __all__ = [
+    "add_pp",
+    "pipeline_blocks",
+    "run_blocks",
     "make_mesh",
     "cpu_mesh",
     "multihost_initialize",

@@ -23,17 +23,23 @@ def make_mesh(
     tp: Optional[int] = None,
     devices: Optional[Sequence] = None,
     sp: int = 1,
+    pp: int = 1,
 ) -> Mesh:
-    """Mesh with axes ``("dp", "sp", "tp")`` over the given (default: all)
-    devices. ``sp`` defaults to 1, so existing ``(dp, tp)`` layouts are the
-    same mesh with a unit sequence axis (specs address axes by name)."""
+    """Mesh with axes ``("dp", "pp", "sp", "tp")`` over the given (default:
+    all) devices. ``sp``/``pp`` default to 1, so existing ``(dp, tp)``
+    layouts are the same mesh with unit extra axes (specs address axes by
+    name). ``pp`` stages the stacked DiT block layers
+    (:mod:`alg_tpu.sharding.pipeline`); it sits between dp and sp/tp so each
+    stage's tp group stays ICI-contiguous."""
     devices = list(devices if devices is not None else jax.devices())
     if tp is None:
-        tp = len(devices) // (dp * sp)
-    if dp * sp * tp != len(devices):
-        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, ("dp", "sp", "tp"))
+        tp = len(devices) // (dp * sp * pp)
+    if dp * pp * sp * tp != len(devices):
+        raise ValueError(
+            f"dp*pp*sp*tp = {dp}*{pp}*{sp}*{tp} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(dp, pp, sp, tp)
+    return Mesh(arr, ("dp", "pp", "sp", "tp"))
 
 
 def cpu_mesh(n_devices: int, dp: int = 1, sp: int = 1) -> Mesh:

@@ -141,6 +141,24 @@ def hunyuan_transformer_specs(params) -> dict:
     return specs
 
 
+_BLOCK_KEYS = ("blocks", "transformer_blocks", "single_transformer_blocks")
+
+
+def add_pp(specs: dict, block_keys=_BLOCK_KEYS) -> dict:
+    """Stage the stacked block layers over the ``pp`` mesh axis.
+
+    Prefixes ``"pp"`` onto the leading (layer) axis of every spec leaf under
+    the stacked-block subtrees, keeping the tp column/row sharding on the
+    trailing axes — pp×tp compose (``sharding/pipeline.py`` is manual over
+    pp only; GSPMD keeps handling tp). Non-block params stay as given.
+    """
+    out = dict(specs)
+    for key in block_keys:
+        if key in out:
+            out[key] = jax.tree.map(lambda s: P("pp", *tuple(s)[1:]), out[key])
+    return out
+
+
 def shard_params(params, specs, mesh):
     """Place a param tree on the mesh according to its spec tree.
 

@@ -187,6 +187,8 @@ def main(argv=None):
     parser.add_argument("--shift", type=float, default=None, help="flow-matching timestep shift (default: family)")
     parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (full mode)")
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis (full mode)")
+    parser.add_argument("--pp", type=int, default=1, help="pipeline-parallel stages over DiT layers (full mode)")
+    parser.add_argument("--pp_micro", type=int, default=None, help="GPipe microbatches (default: --pp)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--output", type=str, required=True, help=".npz output (peft adapters | param tree)")
@@ -246,7 +248,7 @@ def main(argv=None):
         logger.info("LoRA: rank %d over %d modules", args.rank, n_adapted)
     else:
         trainable = base
-        if args.dp * args.tp > 1:
+        if args.dp * args.tp * args.pp > 1:
             from alg_tpu.sharding import make_mesh
             from alg_tpu.sharding.partition import (
                 cogvideox_transformer_specs,
@@ -259,8 +261,10 @@ def main(argv=None):
                 "wan": wan_transformer_specs,
                 "hunyuan": hunyuan_transformer_specs,
             }[family](base)
-            mesh = make_mesh(dp=args.dp, sp=1, tp=args.tp)
-            jstep, trainable, opt_state = make_sharded_train_step(loss_fn, tc, mesh, base, specs)
+            mesh = make_mesh(dp=args.dp, sp=1, tp=args.tp, pp=args.pp)
+            jstep, trainable, opt_state = make_sharded_train_step(
+                loss_fn, tc, mesh, base, specs, pp_micro=args.pp_micro
+            )
         else:
             step, opt = make_train_step(loss_fn, tc)
             opt_state = opt.init(trainable)

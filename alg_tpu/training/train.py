@@ -156,7 +156,9 @@ def load_params_npz(path: str, like):
     return out
 
 
-def make_sharded_train_step(loss_fn: Callable, tc: TrainConfig, mesh, params, param_specs):
+def make_sharded_train_step(
+    loss_fn: Callable, tc: TrainConfig, mesh, params, param_specs, pp_micro=None
+):
     """Mesh-sharded training: returns ``(jitted_step, params, opt_state)``.
 
     ``params`` are placed per ``param_specs`` (the inference TP specs —
@@ -164,8 +166,25 @@ def make_sharded_train_step(loss_fn: Callable, tc: TrainConfig, mesh, params, pa
     ``opt.init`` runs under jit on the sharded params so AdamW moments
     inherit the exact same layout. The returned step donates params and
     optimizer state. Feed it batches through :func:`shard_batch`.
+
+    When ``mesh`` has a ``pp`` axis > 1, the stacked DiT block layers (and
+    their AdamW moments) additionally stage over it and the loss forward/
+    backward runs as a microbatched GPipe pipeline
+    (:mod:`alg_tpu.sharding.pipeline`; ``pp_micro`` microbatches, default
+    the pp degree). Composes with tp (Megatron specs stay on the trailing
+    axes), dp (batch sharding), accumulation, and remat.
     """
-    from alg_tpu.sharding.partition import shard_params
+    from alg_tpu.sharding.partition import add_pp, shard_params
+
+    if mesh.shape.get("pp", 1) > 1:
+        from alg_tpu.sharding.pipeline import pipeline_blocks
+
+        param_specs = add_pp(param_specs)
+        inner_loss = loss_fn
+
+        def loss_fn(params, batch, key):  # noqa: F811 — deliberate rebind
+            with pipeline_blocks(mesh, pp_micro):
+                return inner_loss(params, batch, key)
 
     step, opt = make_train_step(loss_fn, tc)
     params = shard_params(params, param_specs, mesh)

@@ -19,11 +19,14 @@ def test_mesh_construction():
     from alg_tpu.sharding import make_mesh
 
     mesh = make_mesh(dp=2, tp=4, devices=_cpu_devices(8))
-    assert mesh.axis_names == ("dp", "sp", "tp")
-    assert mesh.devices.shape == (2, 1, 4)
+    assert mesh.axis_names == ("dp", "pp", "sp", "tp")
+    assert mesh.devices.shape == (2, 1, 1, 4)
 
     mesh3 = make_mesh(dp=2, sp=2, tp=2, devices=_cpu_devices(8))
-    assert mesh3.devices.shape == (2, 2, 2)
+    assert mesh3.devices.shape == (2, 1, 2, 2)
+
+    mesh4 = make_mesh(dp=2, pp=2, tp=2, devices=_cpu_devices(8))
+    assert mesh4.devices.shape == (2, 2, 1, 2)
 
 
 def test_tp_sharded_dit_matches_single_device():
