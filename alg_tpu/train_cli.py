@@ -137,34 +137,22 @@ def synth_examples(family: str, pipe, n: int, gen: dict, seed: int):
     return out
 
 
-def load_examples(data_dir: str):
-    import glob
-    import os
-
-    files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
-    if not files:
-        raise FileNotFoundError(f"no .npz examples under {data_dir}")
-    out = []
-    for path in files:
-        with np.load(path) as z:
-            out.append({k: z[k] for k in z.files})
-    return out
-
-
-def batches(examples, batch_size: int, steps: int, seed: int):
-    """Shuffled epochs over the examples, stacked into batches, forever-ish."""
-    import jax.numpy as jnp
-
+def batches(examples, batch_size: int, steps: int, seed: int, start: int = 0):
+    """Shuffled epochs over in-memory examples (synthetic mode), stacked into
+    host batches; ``start`` skips batches without materializing them (resume
+    keeps the data order bit-exact)."""
     rng = np.random.RandomState(seed)
     order: list = []
-    for _ in range(steps):
+    for step in range(steps):
         while len(order) < batch_size:
             epoch = list(range(len(examples)))
             rng.shuffle(epoch)
             order.extend(epoch)
         idx, order = order[:batch_size], order[batch_size:]
+        if step < start:
+            continue
         keys = examples[0].keys()
-        yield {k: jnp.asarray(np.stack([examples[i][k] for i in idx])) for k in keys}
+        yield {k: np.stack([examples[i][k] for i in idx]) for k in keys}
 
 
 def main(argv=None):
@@ -192,6 +180,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--output", type=str, required=True, help=".npz output (peft adapters | param tree)")
+    parser.add_argument("--checkpoint_dir", type=str, default=None, help="save/resume training state here")
+    parser.add_argument("--save_every", type=int, default=500, help="checkpoint interval (steps)")
+    parser.add_argument("--keep", type=int, default=3, help="checkpoints retained (0 = all)")
+    parser.add_argument("--resume", action="store_true", help="resume from the latest checkpoint in --checkpoint_dir")
+    parser.add_argument("--ema_decay", type=float, default=0.0, help="EMA shadow decay (e.g. 0.999); exported instead of raw weights when set")
+    parser.add_argument("--prefetch", type=int, default=2, help="host-side batch prefetch depth (0 = off)")
     args = parser.parse_args(argv)
 
     import jax
@@ -218,16 +212,21 @@ def main(argv=None):
     pipe = load_pipeline(cfg, args.model_cache_dir)
     logger.info("Loaded %s pipeline for fine-tuning (%s mode)", family, args.mode)
 
+    from alg_tpu.training.data import LatentDataset, prefetch
+
+    dataset = None
     if args.synthetic:
         examples = synth_examples(family, pipe, args.synthetic, cfg.generation, args.seed)
+        first = examples[0]
         logger.info("Synthetic data: %d examples", len(examples))
     elif args.data:
-        examples = load_examples(args.data)
-        logger.info("Loaded %d examples from %s", len(examples), args.data)
+        dataset = LatentDataset(args.data)
+        first = dataset.example(0)
+        logger.info("Dataset: %d examples from %s", len(dataset), args.data)
     else:
         parser.error("one of --data or --synthetic is required")
 
-    geom = _latent_geometry(family, examples[0])
+    geom = _latent_geometry(family, first)
     loss_fn = build_loss(pipe, family, args, geom)
     tc = TrainConfig(
         learning_rate=args.lr, weight_decay=args.weight_decay, grad_clip=args.grad_clip,
@@ -270,30 +269,91 @@ def main(argv=None):
             opt_state = opt.init(trainable)
             jstep = jax.jit(step, donate_argnums=(0, 1))
 
+    # --- checkpoint/resume + EMA (training/checkpoint.py)
+    from alg_tpu.training.checkpoint import (
+        checkpoint_path,
+        init_ema,
+        latest_checkpoint,
+        load_train_state,
+        make_ema_update,
+        prune_checkpoints,
+        save_train_state,
+    )
+
+    ema = init_ema(trainable) if args.ema_decay else None
+    ema_fn = make_ema_update(args.ema_decay) if args.ema_decay else None
+    start_step = 0
+    if args.resume:
+        if not args.checkpoint_dir:
+            parser.error("--resume requires --checkpoint_dir")
+        path = latest_checkpoint(args.checkpoint_dir)
+        if path is None:
+            logger.info("No checkpoint under %s; starting fresh", args.checkpoint_dir)
+        else:
+            def place_like(tree, like):  # keep the templates' (mesh) placement
+                return jax.tree.map(
+                    lambda x, l: jax.device_put(x, l.sharding), tree, like
+                )
+
+            start_step, r_train, r_opt, r_ema = load_train_state(
+                path, trainable, opt_state, ema
+            )
+            trainable = place_like(r_train, trainable)
+            opt_state = place_like(r_opt, opt_state)
+            if r_ema is not None:
+                ema = place_like(r_ema, ema)
+            logger.info("Resumed from %s (step %d)", path, start_step)
+
+    if dataset is not None:
+        batch_iter = dataset.batches(args.batch_size, args.steps, args.seed, start=start_step)
+    else:
+        batch_iter = batches(examples, args.batch_size, args.steps, args.seed, start=start_step)
+    if args.prefetch:
+        batch_iter = prefetch(batch_iter, depth=args.prefetch, mesh=mesh)
+
     t0 = time.perf_counter()
-    for i, batch in enumerate(batches(examples, args.batch_size, args.steps, args.seed)):
-        if mesh is not None:
+    i = start_step - 1
+    for i, batch in enumerate(batch_iter, start=start_step):
+        if mesh is not None and not args.prefetch:
             batch = shard_batch(batch, mesh)
         trainable, opt_state, m = jstep(
             trainable, opt_state, batch, jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         )
-        if i % args.log_every == 0 or i == args.steps - 1:
+        if ema_fn is not None:
+            ema = ema_fn(ema, trainable)
+        if (i - start_step) % args.log_every == 0 or i == args.steps - 1:
             loss = float(m["loss"])  # device fetch — also the axon sync point
             logger.info(
                 "step %d/%d  loss %.5f  grad_norm %.4f  (%.2f s/step)",
                 i + 1, args.steps, loss, float(m["grad_norm"]),
-                (time.perf_counter() - t0) / (i + 1),
+                (time.perf_counter() - t0) / (i + 1 - start_step),
             )
             if not np.isfinite(loss):
                 raise RuntimeError(f"non-finite loss at step {i + 1}")
+        if args.checkpoint_dir and ((i + 1) % args.save_every == 0 or i + 1 == args.steps):
+            import os
 
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            save_train_state(
+                checkpoint_path(args.checkpoint_dir, i + 1), i + 1, trainable, opt_state, ema
+            )
+            prune_checkpoints(args.checkpoint_dir, args.keep)
+            logger.info("Checkpointed step %d", i + 1)
+
+    export = ema if ema is not None else trainable
     if args.mode == "lora":
-        state = to_peft_state(trainable, FAMILY_PEFT[family][1])
+        state = to_peft_state(export, FAMILY_PEFT[family][1])
         np.savez(args.output, **state)
-        logger.info("Saved %d peft tensors to %s (merge via alg_tpu.io.lora)", len(state), args.output)
+        logger.info(
+            "Saved %d peft tensors%s to %s (merge via alg_tpu.io.lora)",
+            len(state), " (EMA)" if ema is not None else "", args.output,
+        )
     else:
-        save_params_npz(args.output, trainable)
-        logger.info("Saved fine-tuned param tree to %s", args.output)
+        save_params_npz(args.output, export)
+        logger.info(
+            "Saved fine-tuned%s param tree to %s",
+            " EMA" if ema is not None else "", args.output,
+        )
     logger.info("Training complete.")
 
 

@@ -6,6 +6,16 @@ partition specs), and LoRA fine-tuning whose trained adapters export to the
 peft layout ``alg_tpu.io.lora`` merges.
 """
 
+from alg_tpu.training.checkpoint import (
+    checkpoint_path,
+    init_ema,
+    latest_checkpoint,
+    load_train_state,
+    make_ema_update,
+    prune_checkpoints,
+    save_train_state,
+)
+from alg_tpu.training.data import LatentDataset, prefetch
 from alg_tpu.training.losses import (
     make_cogvideox_vpred_loss,
     make_hunyuan_flow_loss,
@@ -56,4 +66,13 @@ __all__ = [
     "WAN_PEFT_PATHS",
     "HUNYUAN_PEFT_PATHS",
     "FAMILY_PEFT",
+    "save_train_state",
+    "load_train_state",
+    "checkpoint_path",
+    "latest_checkpoint",
+    "prune_checkpoints",
+    "init_ema",
+    "make_ema_update",
+    "LatentDataset",
+    "prefetch",
 ]
