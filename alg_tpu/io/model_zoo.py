@@ -221,10 +221,28 @@ def load_wan_pipeline(model_dir: str, dtype=jnp.bfloat16, flow_shift: float = 5.
     )
 
 
+def _native_tokenize(model_dir: str, sub: str = "tokenizer"):
+    """transformers-free ``tokenizer.json`` path (io/hf_tokenizer.py); None
+    when the directory or file is absent (caller falls back)."""
+    tok_dir = os.path.join(model_dir, sub)
+    if not os.path.isdir(tok_dir):
+        return None
+    from alg_tpu.io.hf_tokenizer import load_tokenizer
+
+    return load_tokenizer(tok_dir)
+
+
 def _make_wan_tokenizer(model_dir: str):
     tok_dir = os.path.join(model_dir, "tokenizer")
     if not os.path.isdir(tok_dir):
         return None
+    native = _native_tokenize(model_dir)
+    if native is not None:
+        def tokenize(prompts, max_length):
+            ids, mask = native(prompts, max_length)
+            return ids.astype("int32"), mask.astype("int32")
+
+        return tokenize
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(tok_dir)
@@ -358,6 +376,15 @@ def _make_plain_tokenizer(model_dir: str, sub: str, with_mask: bool):
     tok_dir = os.path.join(model_dir, sub)
     if not os.path.isdir(tok_dir):
         return None
+    native = _native_tokenize(model_dir, sub)
+    if native is not None:
+        def tokenize(prompts, max_length):
+            ids, mask = native(prompts, max_length)
+            if with_mask:
+                return ids.astype("int64"), mask.astype("int64")
+            return ids.astype("int64")
+
+        return tokenize
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(tok_dir)
@@ -389,6 +416,13 @@ def _make_tokenizer(model_dir: str):
     tok_dir = os.path.join(model_dir, "tokenizer")
     if not os.path.isdir(tok_dir):
         return None
+    native = _native_tokenize(model_dir)
+    if native is not None:
+        def tokenize(prompts, max_length):
+            ids, _ = native(prompts, max_length)
+            return ids.astype("int32")
+
+        return tokenize
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(tok_dir)
