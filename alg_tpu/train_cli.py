@@ -186,9 +186,13 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true", help="resume from the latest checkpoint in --checkpoint_dir")
     parser.add_argument("--ema_decay", type=float, default=0.0, help="EMA shadow decay (e.g. 0.999); exported instead of raw weights when set")
     parser.add_argument("--prefetch", type=int, default=2, help="host-side batch prefetch depth (0 = off)")
+    parser.add_argument("--val_frac", type=float, default=0.0, help="hold out this fraction of examples for validation")
+    parser.add_argument("--eval_every", type=int, default=50, help="validation-loss interval (with --val_frac)")
+    parser.add_argument("--profile_dir", type=str, default=None, help="jax.profiler trace of steps 2-4 (view with TensorBoard/xprof)")
     args = parser.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from alg_tpu.cli import load_pipeline
     from alg_tpu.core.config import load_run_config
@@ -233,6 +237,24 @@ def main(argv=None):
         accum_steps=args.accum, remat=args.remat,
     )
 
+    # --- validation holdout (fixed batches, evaluated with a fixed key)
+    val_batches = []
+    if args.val_frac > 0:
+        if dataset is not None:
+            n_val = max(1, int(len(dataset) * args.val_frac))
+            val_examples = [dataset.example(i) for i in range(len(dataset) - n_val, len(dataset))]
+            dataset.files = dataset.files[: len(dataset) - n_val]
+        else:
+            n_val = max(1, int(len(examples) * args.val_frac))
+            val_examples, examples = examples[-n_val:], examples[:-n_val]
+        while len(val_examples) % args.batch_size:  # cycle to a full batch
+            val_examples.append(val_examples[len(val_examples) % n_val])
+        keys0 = sorted(val_examples[0].keys())
+        for j in range(0, len(val_examples), args.batch_size):
+            chunk = val_examples[j : j + args.batch_size]
+            val_batches.append({k: np.stack([ex[k] for ex in chunk]) for k in keys0})
+        logger.info("Validation: %d examples (%d batches)", n_val, len(val_batches))
+
     base = pipe.transformer_params
     mesh = None
     if args.mode == "lora":
@@ -241,9 +263,11 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed), base, rank=args.rank, prefixes=prefixes
         )
         n_adapted = len(trainable)
-        step, opt = make_train_step(make_lora_loss(loss_fn, base, scale=args.lora_scale), tc)
+        train_loss = make_lora_loss(loss_fn, base, scale=args.lora_scale)
+        step, opt = make_train_step(train_loss, tc)
         opt_state = opt.init(trainable)
         jstep = jax.jit(step, donate_argnums=(0, 1))
+        eval_fn = jax.jit(train_loss)
         logger.info("LoRA: rank %d over %d modules", args.rank, n_adapted)
     else:
         trainable = base
@@ -264,10 +288,21 @@ def main(argv=None):
             jstep, trainable, opt_state = make_sharded_train_step(
                 loss_fn, tc, mesh, base, specs, pp_micro=args.pp_micro
             )
+
+            _jeval = jax.jit(loss_fn)  # traced on first call (ctx active then)
+
+            def eval_fn(params, batch, key):
+                if args.pp > 1:
+                    from alg_tpu.sharding.pipeline import pipeline_blocks
+
+                    with pipeline_blocks(mesh, args.pp_micro):
+                        return _jeval(params, batch, key)
+                return _jeval(params, batch, key)
         else:
             step, opt = make_train_step(loss_fn, tc)
             opt_state = opt.init(trainable)
             jstep = jax.jit(step, donate_argnums=(0, 1))
+            eval_fn = jax.jit(loss_fn)
 
     # --- checkpoint/resume + EMA (training/checkpoint.py)
     from alg_tpu.training.checkpoint import (
@@ -313,7 +348,12 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     i = start_step - 1
+    profiling = False
     for i, batch in enumerate(batch_iter, start=start_step):
+        if args.profile_dir and i == start_step + 1:  # skip the compile step
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+            logger.info("Profiling steps %d-%d to %s", i + 1, i + 3, args.profile_dir)
         if mesh is not None and not args.prefetch:
             batch = shard_batch(batch, mesh)
         trainable, opt_state, m = jstep(
@@ -321,6 +361,17 @@ def main(argv=None):
         )
         if ema_fn is not None:
             ema = ema_fn(ema, trainable)
+        if profiling and (i == start_step + 3 or i == args.steps - 1):
+            float(m["loss"])  # fetch: make the async work land inside the trace
+            jax.profiler.stop_trace()
+            profiling = False
+        if val_batches and ((i + 1) % args.eval_every == 0 or i + 1 == args.steps):
+            vals = [
+                float(eval_fn(trainable, {k: jnp.asarray(v) for k, v in vb.items()},
+                              jax.random.PRNGKey(10_000 + j)))
+                for j, vb in enumerate(val_batches)
+            ]
+            logger.info("step %d/%d  val_loss %.5f", i + 1, args.steps, float(np.mean(vals)))
         if (i - start_step) % args.log_every == 0 or i == args.steps - 1:
             loss = float(m["loss"])  # device fetch — also the axon sync point
             logger.info(

@@ -214,3 +214,44 @@ video:
     assert sorted(a) == sorted(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_train_cli_val_loss_and_profile(tmp_path):
+    """--val_frac holds out examples and logs val_loss; --profile_dir writes
+    a jax.profiler trace."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_tiny_checkpoint
+
+    root = tmp_path / "CogVideoX-tiny"
+    make_tiny_checkpoint.build(str(root))
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(
+        f"""
+model:
+  path: "{root}"
+  dtype: "float32"
+generation:
+  height: 32
+  width: 32
+  num_frames: 5
+  guidance_scale: 6.0
+  max_sequence_length: 8
+video:
+  fps: 8
+"""
+    )
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_tpu_cache")
+    prof = tmp_path / "prof"
+    proc = subprocess.run(
+        [sys.executable, "-m", "alg_tpu.train_cli", "--config", str(cfg_path),
+         "--synthetic", "6", "--steps", "4", "--batch_size", "2", "--rank", "2",
+         "--lr", "1e-3", "--log_every", "2", "--val_frac", "0.34",
+         "--eval_every", "2", "--profile_dir", str(prof),
+         "--output", str(tmp_path / "a.npz")],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    assert "Validation: 2 examples" in proc.stdout
+    assert proc.stdout.count("val_loss") >= 2
+    assert prof.is_dir() and any(prof.rglob("*"))  # trace written
