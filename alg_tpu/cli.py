@@ -17,12 +17,22 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(levelname)s - %(
 logger = logging.getLogger(__name__)
 
 
-def load_pipeline(cfg, model_cache_dir=None, quantize=None):
+def load_pipeline(cfg, model_cache_dir=None, quantize=None, lora=None, lora_scale=1.0):
     """Family-dispatched pipeline load (reference ``run.py:45-86`` semantics),
     shared by the single-run CLI and the batch-serving CLI. ``quantize``
     ("w8" | "w4") quantizes the DiT blocks host-side before streaming
-    (HBM-safe int8/int4 serving — beyond-parity)."""
+    (HBM-safe int8/int4 serving — beyond-parity). ``lora`` merges a
+    peft-layout adapter ``.npz`` (``alg-tpu-train`` output / diffusers LoRA
+    converted to npz) into the DiT at ``lora_scale`` — the CLI face of the
+    reference's LoRA loader mixins."""
     from alg_tpu.io.model_zoo import resolve_model_dir
+
+    if lora is not None and quantize is not None:
+        raise ValueError(
+            "--lora with --quantize is unsupported: adapters must merge into "
+            "the float kernels before quantization. Merge offline "
+            "(alg_tpu.io.lora), save the tree, then quantize that checkpoint."
+        )
 
     model_dir = resolve_model_dir(cfg.model_path, model_cache_dir)
     family = cfg.family
@@ -30,26 +40,42 @@ def load_pipeline(cfg, model_cache_dir=None, quantize=None):
     if family == "cogvideox":
         from alg_tpu.io.model_zoo import load_cogvideox_pipeline
 
-        return load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype, quantize=quantize)
-    if family == "wan":
+        pipe = load_cogvideox_pipeline(model_dir, dtype=cfg.model_dtype, quantize=quantize)
+    elif family == "wan":
         from alg_tpu.io.model_zoo import load_wan_pipeline
 
         # reference quirk reproduced: flow_shift keyed on a *string* compare
         # against the int config value — always 5.0 with shipped configs
         # (run.py:63)
         flow_shift = 3.0 if cfg.generation.get("height") == "480" else 5.0
-        return load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift, quantize=quantize)
-    if family == "hunyuan":
+        pipe = load_wan_pipeline(model_dir, dtype=cfg.model_dtype, flow_shift=flow_shift, quantize=quantize)
+    elif family == "hunyuan":
         from alg_tpu.io.model_zoo import load_hunyuan_pipeline
 
-        return load_hunyuan_pipeline(
+        pipe = load_hunyuan_pipeline(
             model_dir,
             dtype=cfg.model_dtype,
             flow_shift=cfg.flow_shift,
             invert_sigmas=bool(cfg.flow_reverse),
             quantize=quantize,
         )
-    raise ValueError(family)  # pragma: no cover
+    else:  # pragma: no cover
+        raise ValueError(family)
+
+    if lora is not None:
+        import numpy as np
+
+        from alg_tpu.io import lora as io_lora
+
+        merge = {
+            "cogvideox": io_lora.merge_lora_cogvideox,
+            "wan": io_lora.merge_lora_wan,
+            "hunyuan": io_lora.merge_lora_hunyuan,
+        }[family]
+        state = dict(np.load(lora))
+        pipe.transformer_params = merge(pipe.transformer_params, state, scale=lora_scale)
+        logger.info("Merged %d LoRA tensors from %s (scale %g)", len(state), lora, lora_scale)
+    return pipe
 
 
 def run(args):
@@ -64,7 +90,10 @@ def run(args):
     logger.info("Using device: %s", jax.devices()[0])
 
     family = cfg.family
-    pipe = load_pipeline(cfg, args.model_cache_dir, quantize=args.quantize)
+    pipe = load_pipeline(
+        cfg, args.model_cache_dir, quantize=args.quantize,
+        lora=getattr(args, "lora", None), lora_scale=getattr(args, "lora_scale", 1.0),
+    )
 
     logger.info("Pipeline loaded successfully.")
 
@@ -128,6 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="optional denoise-state snapshot file: the run saves progress "
         "here and resumes from it after an interruption (beyond-parity)",
     )
+    parser.add_argument(
+        "--lora", type=str, default=None,
+        help="peft-layout adapter .npz (alg-tpu-train output) merged into "
+        "the DiT before generation",
+    )
+    parser.add_argument("--lora_scale", type=float, default=1.0)
     return parser
 
 

@@ -144,12 +144,15 @@ def encode_cogvideox(pipe, frames: np.ndarray, prompt: str, max_seq: int) -> dic
     }
 
 
-def encode_wan(pipe, frames: np.ndarray, prompt: str, max_seq: int) -> dict:
+def encode_wan(pipe, frames: np.ndarray, prompt: str, max_seq: int, flf2v: bool = False) -> dict:
     import jax.numpy as jnp
 
     f, _, height, width = frames.shape
     latents = pipe._encode_video_condition_p(pipe.vae_params, jnp.asarray(frames[None]))
-    condition = pipe._build_condition(frames[:1], 1, f, height, width, None)
+    # FLF2V: condition on first AND last frame (reference last_image path,
+    # ...wan...py:403-412) — trains the first-last-frame-to-video objective
+    last = frames[-1:] if flf2v else None
+    condition = pipe._build_condition(frames[:1], 1, f, height, width, last)
     out = {
         "latents": np.asarray(latents[0], np.float32),
         "condition": np.asarray(condition[0], np.float32),
@@ -208,6 +211,7 @@ def main(argv=None):
     parser.add_argument("--prompt", type=str, default=None, help="prompt for --video")
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--limit", type=int, default=0, help="stop after N examples (0 = all)")
+    parser.add_argument("--flf2v", action="store_true", help="Wan: condition on first AND last frame (FLF2V objective); per-item override via manifest key \"flf2v\"")
     args = parser.parse_args(argv)
 
     from alg_tpu.cli import load_pipeline
@@ -248,7 +252,10 @@ def main(argv=None):
             logger.info("Hunyuan bucket: %dx%d", height, width)
         sized = True
         tensor = coerce_frames(frames_to_tensor(frames, height, width))
-        example = encode(pipe, tensor, item["prompt"], max_seq)
+        extra = {}
+        if family == "wan":
+            extra["flf2v"] = bool(item.get("flf2v", args.flf2v))
+        example = encode(pipe, tensor, item["prompt"], max_seq, **extra)
         out_path = os.path.join(args.output_dir, f"example_{i:05d}.npz")
         np.savez(out_path, **example)
         shapes = {k: tuple(v.shape) for k, v in example.items()}

@@ -115,7 +115,10 @@ def serve(args):
             "the batch size must be divisible by dp"
         )
 
-    pipe = load_pipeline(cfg, args.model_cache_dir, quantize=args.quantize)
+    pipe = load_pipeline(
+        cfg, args.model_cache_dir, quantize=args.quantize,
+        lora=args.lora, lora_scale=args.lora_scale,
+    )
     logger.info("Pipeline loaded successfully.")
 
     mesh = None
@@ -173,6 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--quantize", type=str, choices=("w8", "w4"), default=None,
         help="quantize DiT blocks at load, host-side before streaming (W8A8/W4A8)",
     )
+    parser.add_argument("--lora", type=str, default=None,
+                        help="peft-layout adapter .npz merged into the DiT before serving")
+    parser.add_argument("--lora_scale", type=float, default=1.0)
     parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (prompts)")
     parser.add_argument("--sp", type=int, default=1, help="sequence-parallel mesh axis (DiT tokens)")
     parser.add_argument(

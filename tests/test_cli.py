@@ -221,6 +221,61 @@ video:
     assert proc2.returncode != 0
 
 
+def test_cli_lora_flag_merges_trained_adapters(tiny_ckpt, tmp_path):
+    """alg-tpu-train → run.py --lora: the trained adapters merge at load and
+    the generation completes (the reference's LoRA-loader-mixin surface)."""
+    from PIL import Image
+
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_tpu_cache")
+    cwd = os.path.join(os.path.dirname(__file__), "..")
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(
+        f"""
+model:
+  path: "{tiny_ckpt}"
+  dtype: "float32"
+generation:
+  height: 32
+  width: 32
+  num_frames: 5
+  num_inference_steps: 2
+  guidance_scale: 6.0
+  max_sequence_length: 16
+video:
+  fps: 8
+"""
+    )
+    adapters = tmp_path / "adapters.npz"
+    proc = subprocess.run(
+        [sys.executable, "-m", "alg_tpu.train_cli", "--config", str(cfg_path),
+         "--synthetic", "2", "--steps", "2", "--batch_size", "1", "--rank", "2",
+         "--lr", "1e-2", "--log_every", "1", "--output", str(adapters)],
+        cwd=cwd, capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    img_path = tmp_path / "input.png"
+    Image.fromarray((np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)).save(img_path)
+    proc = subprocess.run(
+        [sys.executable, "run.py", "--config", str(cfg_path), "--image_path", str(img_path),
+         "--prompt", "a red bus", "--output_path", str(tmp_path / "out.mp4"),
+         "--lora", str(adapters), "--lora_scale", "1.0"],
+        cwd=cwd, capture_output=True, text=True, env=env, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "Merged 24 LoRA tensors" in proc.stdout
+    assert "Run complete" in proc.stdout
+
+    # guard: --lora with --quantize must fail with the offline-merge hint
+    proc = subprocess.run(
+        [sys.executable, "run.py", "--config", str(cfg_path), "--image_path", str(img_path),
+         "--prompt", "x", "--output_path", str(tmp_path / "y.mp4"),
+         "--lora", str(adapters), "--quantize", "w8"],
+        cwd=cwd, capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert proc.returncode != 0 and "unsupported" in proc.stderr
+
+
 def test_load_pipeline_quantize_at_load(tiny_ckpt):
     """--quantize wiring: host-side conversion + quantize-before-streaming
     (io/model_zoo._convert_transformer). At tiny dims no linear crosses the

@@ -138,6 +138,33 @@ def test_prepare_wan_keys_and_shapes(tmp_path):
         assert mask[:, 0].min() == 1.0 and np.abs(mask[:, 1:]).max() == 0.0
 
 
+def test_prepare_wan_flf2v(tmp_path):
+    """--flf2v conditions on first AND last frame (mask marks both ends)."""
+    import make_tiny_checkpoint
+
+    root = tmp_path / "Wan-tiny"
+    make_tiny_checkpoint.build_wan(str(root))
+    cfg_path = _write_cfg(tmp_path, root)
+    man = _clips(tmp_path, n=1, frames=9)
+    out_dir = tmp_path / "latents"
+    proc = subprocess.run(
+        [sys.executable, "-m", "alg_tpu.prepare_cli", "--config", str(cfg_path),
+         "--manifest", str(man), "--output_dir", str(out_dir), "--flf2v"],
+        cwd=_CWD, capture_output=True, text=True, env=_ENV, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    with np.load(out_dir / "example_00000.npz") as z:
+        mask = z["condition"][:4]
+        # first pixel frame repeated ×4 → all t-channels of latent frame 0
+        assert mask[:, 0].min() == 1.0
+        # last pixel frame lands in the final t-channel of the last latent
+        # frame after the [F+3] → [F_lat, t] reshape (reference :436-447)
+        assert mask[3, -1].min() == 1.0 and np.abs(mask[:3, -1]).max() == 0.0
+        assert np.abs(mask[:, 1:-1]).max() == 0.0
+        # the last condition-latent frame is non-zero (last frame encoded)
+        assert np.abs(z["condition"][4:, -1]).max() > 0.0
+
+
 def test_prepare_hunyuan_keys_and_shapes(tmp_path):
     import make_tiny_checkpoint
 
