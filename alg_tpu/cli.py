@@ -72,7 +72,14 @@ def load_pipeline(cfg, model_cache_dir=None, quantize=None, lora=None, lora_scal
             "wan": io_lora.merge_lora_wan,
             "hunyuan": io_lora.merge_lora_hunyuan,
         }[family]
-        state = dict(np.load(lora))
+        if lora.endswith(".safetensors"):
+            # diffusers-published adapter file (same peft naming)
+            from safetensors import safe_open
+
+            with safe_open(lora, framework="np") as f:
+                state = {k: f.get_tensor(k) for k in f.keys()}
+        else:
+            state = dict(np.load(lora))
         pipe.transformer_params = merge(pipe.transformer_params, state, scale=lora_scale)
         logger.info("Merged %d LoRA tensors from %s (scale %g)", len(state), lora, lora_scale)
     return pipe

@@ -276,6 +276,37 @@ video:
     assert proc.returncode != 0 and "unsupported" in proc.stderr
 
 
+def test_load_pipeline_safetensors_lora(tiny_ckpt, tmp_path):
+    """--lora accepts diffusers-published .safetensors adapters (same peft
+    naming as the npz path) and actually moves the kernels."""
+    import jax
+
+    from alg_tpu.cli import load_pipeline
+    from alg_tpu.core.config import load_run_config
+    from alg_tpu.training import FAMILY_PEFT, init_lora_params, to_peft_state
+
+    cfg_p = tmp_path / "c.yaml"
+    cfg_p.write_text(f'model:\n  path: "{tiny_ckpt}"\n  dtype: "float32"\ngeneration: {{}}\nvideo:\n  fps: 8\n')
+    cfg = load_run_config(str(cfg_p))
+    pipe0 = load_pipeline(cfg)
+    loras = init_lora_params(jax.random.PRNGKey(0), pipe0.transformer_params, rank=2, prefixes=("blocks",))
+    # B inits to zero (standard) — perturb so the merge moves the kernels
+    loras = {k: {"A": v["A"], "B": v["B"] + 0.1} for k, v in loras.items()}
+    state = to_peft_state(loras, FAMILY_PEFT["cogvideox"][1])
+
+    from safetensors.numpy import save_file
+
+    st = tmp_path / "adapters.safetensors"
+    save_file({k: np.asarray(v) for k, v in state.items()}, str(st))
+    pipe1 = load_pipeline(cfg, lora=str(st), lora_scale=1.0)
+    assert jax.tree.structure(pipe1.transformer_params) == jax.tree.structure(pipe0.transformer_params)
+    delta = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(pipe1.transformer_params), jax.tree.leaves(pipe0.transformer_params))
+    )
+    assert delta > 0.0
+
+
 def test_load_pipeline_quantize_at_load(tiny_ckpt):
     """--quantize wiring: host-side conversion + quantize-before-streaming
     (io/model_zoo._convert_transformer). At tiny dims no linear crosses the
