@@ -90,6 +90,39 @@ def serve(args):
     cfg = load_run_config(args.config)
     logger.info("Devices: %d × %s", len(jax.devices()), jax.devices()[0].platform)
 
+    if args.listen is not None:
+        if args.multihost:
+            raise ValueError("--listen is single-process (front it with a router for multihost)")
+        from alg_tpu.http_serving import serve_http
+
+        mesh = None
+        if args.dp != 1 or args.sp != 1 or args.tp != 0:
+            from alg_tpu.sharding import make_mesh
+
+            mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp or None)
+            logger.info("Serving on mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
+        pipe = load_pipeline(
+            cfg, args.model_cache_dir, quantize=args.quantize,
+            lora=args.lora, lora_scale=args.lora_scale,
+        )
+        logger.info("Pipeline loaded successfully.")
+        server = serve_http(
+            pipe, cfg, host=args.host, port=args.listen, mesh=mesh,
+            sp_mode=args.sp_mode, max_batch=args.max_batch,
+            batch_window=args.batch_window,
+        )
+        logger.info("Listening on http://%s:%d", *server.server_address[:2])
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            logger.info("Shutting down.")
+        finally:
+            server.alg_worker.shutdown()
+            server.server_close()
+        return
+
+    if args.requests is None:
+        raise ValueError("--requests is required unless --listen is given")
     requests, outputs = load_requests(args.requests)
     logger.info("Loaded %d requests from %s", len(requests), args.requests)
 
@@ -169,7 +202,19 @@ def serve(args):
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Batched multi-prompt serving")
     parser.add_argument("--config", type=str, required=True)
-    parser.add_argument("--requests", type=str, required=True, help="JSONL: one request object per line")
+    parser.add_argument("--requests", type=str, default=None,
+                        help="JSONL: one request object per line (required unless --listen)")
+    parser.add_argument(
+        "--listen", type=int, default=None, metavar="PORT",
+        help="run a persistent HTTP daemon instead of a one-shot batch: "
+        "weights stay resident on device, requests micro-batch up to "
+        "--max_batch within --batch_window (alg_tpu.http_serving)",
+    )
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--max_batch", type=int, default=1,
+                        help="fixed micro-batch size the daemon pads to (one compiled shape)")
+    parser.add_argument("--batch_window", type=float, default=0.2,
+                        help="seconds to wait for more requests after the first (daemon mode)")
     parser.add_argument("--output_dir", type=str, default="serve_out")
     parser.add_argument("--model_cache_dir", type=str, default=None)
     parser.add_argument(
