@@ -164,7 +164,13 @@ def set_attention_mesh(
     replicated in memory); ``"ring"`` keeps K/V sequence-sharded and rotates
     chunks around the ``seq_axis`` ring with ``ppermute``, merging partial
     outputs by log-sum-exp — peak KV memory drops from O(S) to O(S/sp) per
-    chip and the permutes overlap chunk compute (ring attention).
+    chip and the permutes overlap chunk compute (ring attention);
+    ``"ulysses"`` trades the sequence shard for a head shard with one
+    ``all_to_all`` on q/k/v (and one back on the output): each sp rank then
+    runs ONE full-sequence flash call over ``heads/(tp·sp)`` heads — a single
+    kernel launch instead of sp (ring) and ~4·S·D·h/sp words moved instead of
+    the gather's 2·S·D·h replicated KV (DeepSpeed-Ulysses). Needs
+    ``(heads/tp) % sp == 0``; calls that don't qualify degrade to "gather".
     """
     global _MESH_CTX
     _MESH_CTX = None if mesh is None else (mesh, batch_axis, head_axis, seq_axis, seq_mode)
@@ -306,6 +312,17 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
 
     gather_kv = sp > 1 and not cross
     ring_kv = gather_kv and seq_mode == "ring"
+    ulysses_kv = gather_kv and seq_mode == "ulysses"
+    if ulysses_kv and (h // tp) % sp != 0:
+        # Ulysses re-shards heads over sp — each rank must get a whole number
+        # of the tp-local heads. Degrade to the always-valid gather strategy.
+        import warnings
+
+        warnings.warn(
+            f"ulysses sp needs (heads/tp) % sp == 0; got {h // tp} local heads "
+            f"over sp={sp} — falling back to gathered-KV sequence parallelism"
+        )
+        ulysses_kv = False
 
     def local(q, k, v, kv_len=None):
         if ring_kv:
@@ -314,16 +331,28 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
                 q, k, v, kv_len, scale=scale, stable=stable, axis=sa, sp=sp,
                 use_pallas=use_pallas,
             )
-        if gather_kv:
+        if ulysses_kv:
+            # Ulysses: one all_to_all trades the sequence shard for a head
+            # shard — afterwards this rank holds ALL Sq/Sk tokens of
+            # h/(tp·sp) heads, so a single full-sequence flash call (and the
+            # unmodified kv_len mask) is exact. Inverted on the output.
+            q = jax.lax.all_to_all(q, sa, split_axis=1, concat_axis=2, tiled=True)
+            k = jax.lax.all_to_all(k, sa, split_axis=1, concat_axis=2, tiled=True)
+            v = jax.lax.all_to_all(v, sa, split_axis=1, concat_axis=2, tiled=True)
+        elif gather_kv:
             # keys/values live sequence-sharded between layers; gather the
-            # full KV per shard over ICI (tiny next to the [Sq/sp, Sk] logits)
+            # full KV per shard over ICI (tiny next to the [Sq, Sk] logits)
             k = jax.lax.all_gather(k, sa, axis=2, tiled=True)
             v = jax.lax.all_gather(v, sa, axis=2, tiled=True)
         if use_pallas:
-            return flash_attention(
+            o = flash_attention(
                 q, k, v, scale=scale, causal=causal, kv_len=kv_len, stable=stable
             )
-        return _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len)
+        else:
+            o = _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len)
+        if ulysses_kv:
+            o = jax.lax.all_to_all(o, sa, split_axis=2, concat_axis=1, tiled=True)
+        return o
 
     fn = shard_map(
         local,

@@ -227,10 +227,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dp", type=int, default=1, help="data-parallel mesh axis (prompts)")
     parser.add_argument("--sp", type=int, default=1, help="sequence-parallel mesh axis (DiT tokens)")
     parser.add_argument(
-        "--sp_mode", type=str, choices=("gather", "ring"), default="gather",
+        "--sp_mode", type=str, choices=("gather", "ring", "ulysses"), default="gather",
         help="sequence-parallel KV strategy: gather = all-gathered KV; "
         "ring = ring attention (KV chunks rotate via ppermute, O(S/sp) peak "
-        "KV memory per chip)",
+        "KV memory per chip); ulysses = all-to-all head/sequence exchange "
+        "(one full-seq kernel call per rank; needs heads/tp divisible by sp)",
     )
     parser.add_argument(
         "--tp", type=int, default=0,

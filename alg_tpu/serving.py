@@ -148,9 +148,10 @@ def serve_batch(
     prompts are encoded as a batch. Passing a ``mesh`` arms the pipeline via
     :func:`shard_pipeline` (no-op if it is already armed with that mesh and
     ``sp_mode``); the batch then lays out along the ``dp`` axis and the DiT
-    runs TP/SP-sharded. ``sp_mode`` ("gather" | "ring", see shard_pipeline)
-    defaults to None = KEEP the pipeline's current mode — a ring-armed
-    pipeline is never silently downgraded back to all-gathered KV.
+    runs TP/SP-sharded. ``sp_mode`` ("gather" | "ring" | "ulysses", see
+    shard_pipeline) defaults to None = KEEP the pipeline's current mode — a
+    ring/ulysses-armed pipeline is never silently downgraded back to
+    all-gathered KV.
     """
     family = type(pipeline).__name__
     if family not in _ENCODERS:
@@ -215,8 +216,10 @@ def shard_pipeline(pipeline, mesh: Mesh, sp_mode: str = "gather"):
     additionally shards the DiT query tokens in attention (long-context
     relief); the joint sequence length must be divisible by ``sp``.
     ``sp_mode`` picks the KV strategy under sp: ``"gather"`` (all-gathered
-    KV) or ``"ring"`` (ring attention — KV chunks rotate via ppermute,
-    O(S/sp) peak KV memory per chip).
+    KV), ``"ring"`` (ring attention — KV chunks rotate via ppermute,
+    O(S/sp) peak KV memory per chip), or ``"ulysses"`` (all-to-all trades
+    the sequence shard for a head shard — one full-sequence kernel call per
+    rank; needs heads/tp divisible by sp, degrades to gather otherwise).
     """
     import dataclasses as _dc
 

@@ -736,9 +736,58 @@ def test_ring_attention_matches_unsharded():
         set_attention_impl(None)
 
 
-def test_ring_sp_serving_matches_gather():
-    """Full serve_batch with sp_mode="ring" equals sp_mode="gather" equals
-    unsharded — the whole sampler runs with ring attention in the DiT."""
+def test_ulysses_attention_matches_unsharded():
+    """Ulysses SP (all_to_all trades the sequence shard for a head shard,
+    one full-sequence attention call per rank) must match the unsharded
+    result — dense and kv_len-masked — and degrade to gathered-KV with a
+    warning when heads/tp does not divide by sp."""
+    import warnings
+
+    from alg_tpu.ops.attention import attention, attention_mesh_scope, set_attention_impl
+    from alg_tpu.sharding import make_mesh
+
+    cpus = _cpu_devices(8)
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+
+    set_attention_impl("xla")
+    try:
+        ref = attention(q, k, v)
+        for dp, sp, tp in ((2, 2, 2), (1, 4, 1)):
+            mesh = make_mesh(dp=dp, sp=sp, tp=tp, devices=cpus[: dp * sp * tp])
+            with mesh, attention_mesh_scope(mesh, seq_axis="sp", seq_mode="ulysses"):
+                out = attention(q, k, v)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        # kv_len masking survives the head/seq exchange unchanged
+        kv_len = jnp.asarray(np.array([20, 64], np.int32))
+        ref2 = attention(q, k, v, kv_len=kv_len)
+        mesh = make_mesh(dp=1, sp=2, tp=2, devices=cpus[:4])
+        with mesh, attention_mesh_scope(mesh, seq_axis="sp", seq_mode="ulysses"):
+            out2 = attention(q, k, v, kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-5)
+
+        # 4 heads over tp=2 leaves 2 local heads — sp=4 cannot re-shard them:
+        # must warn and fall back to the gather strategy (still exact)
+        mesh = make_mesh(dp=1, sp=4, tp=2, devices=cpus)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            with mesh, attention_mesh_scope(mesh, seq_axis="sp", seq_mode="ulysses"):
+                out3 = attention(q, k, v)
+        assert any("falling back to gathered-KV" in str(w.message) for w in rec)
+        np.testing.assert_allclose(np.asarray(out3), np.asarray(ref), atol=2e-5)
+    finally:
+        set_attention_impl(None)
+
+
+@pytest.mark.parametrize("sp_mode", ["ring", "ulysses"])
+def test_ring_sp_serving_matches_gather(sp_mode):
+    """Full serve_batch with sp_mode="ring"/"ulysses" equals sp_mode="gather"
+    equals unsharded — the whole sampler runs with that SP strategy in the
+    DiT (4 heads over tp=2 leave 2 local heads → sp=2 exercises the true
+    Ulysses head re-shard, not the fallback)."""
     from alg_tpu.models.cogvideox import (
         CogVideoXTransformerConfig,
         CogVideoXVAEConfig,
@@ -788,11 +837,11 @@ def test_ring_sp_serving_matches_gather():
         try:
             ref = serve_batch(pipe, reqs, **kwargs)
             mesh = make_mesh(dp=2, sp=2, tp=2, devices=cpus)
-            pipe_sh = shard_pipeline(pipe, mesh, sp_mode="ring")
-            assert pipe_sh.sp_mode == "ring"
+            pipe_sh = shard_pipeline(pipe, mesh, sp_mode=sp_mode)
+            assert pipe_sh.sp_mode == sp_mode
             pipe_sh.encode_prompt = pipe.encode_prompt
             with mesh:
-                out = serve_batch(pipe_sh, reqs, sp_mode="ring", **kwargs)
+                out = serve_batch(pipe_sh, reqs, sp_mode=sp_mode, **kwargs)
         finally:
             set_attention_impl(None)
         assert out.shape == (2, 2, 4, 4, 4)
