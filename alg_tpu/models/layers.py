@@ -33,10 +33,17 @@ def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     if "kernel_q" in p or "kernel_q4" in p:  # opt-in W8A8/W4A8 serving modes (alg_tpu.ops.quant)
         from alg_tpu.ops.quant import quantized_linear
 
-        return quantized_linear(p, x)
-    y = x @ p["kernel"].astype(x.dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(y.dtype)
+        y = quantized_linear(p, x)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(y.dtype)
+    if "lora_A" in p:
+        # attached (unmerged) low-rank adapter — training/lora.attach_lora:
+        # y += (x·A)·B in fp32. This is the QLoRA path: the frozen base stays
+        # int8/int4 on device while gradients flow through A/B only.
+        xf = x.astype(jnp.float32)
+        y = y + ((xf @ p["lora_A"]) @ p["lora_B"]).astype(y.dtype)
     return y
 
 

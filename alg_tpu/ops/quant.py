@@ -54,11 +54,17 @@ def quantize_kernel(kernel: jnp.ndarray):
     return out, jnp.asarray(scale, jnp.float32)
 
 
-def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
+def _quantized_linear_impl(p, x: jnp.ndarray) -> jnp.ndarray:
     """W8A8 linear: dynamic per-row activation absmax quant, int8 MXU matmul
     with int32 accumulation, dequant epilogue. ``p``: {"kernel_q", "w_scale"
     [, "bias"]} — or the W4A8 form {"kernel_q4", "w_scale4", "w_scale"
-    [, "bias"]}, whose int4 weights requantize to int8 on the fly."""
+    [, "bias"]}, whose int4 weights requantize to int8 on the fly.
+
+    Differentiable wrt ``x`` via a custom VJP: the backward pass multiplies
+    by the DEQUANTIZED weights (``dL/dx = g · (kq·scale)ᵀ``), the standard
+    QLoRA rule — the int8 dot and the activation round/clip are treated as
+    identity for gradient purposes. The frozen weights get zero cotangents
+    (full fine-tuning of a quantized base is not a thing; train adapters)."""
     kernel_q = w4_to_int8(p) if "kernel_q4" in p else p["kernel_q"]
     xf = x.astype(jnp.float32)
     xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
@@ -74,6 +80,40 @@ def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def quantized_linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    return _quantized_linear_impl(p, x)
+
+
+quantized_linear.__doc__ = _quantized_linear_impl.__doc__
+
+
+def _quantized_linear_fwd(p, x):
+    # residuals must be jax types: a zero-size array carries x's dtype
+    return _quantized_linear_impl(p, x), (p, jnp.zeros((0,), x.dtype))
+
+
+def _quantized_linear_bwd(res, g):
+    p, x_proto = res
+    kernel_q = w4_to_int8(p) if "kernel_q4" in p else p["kernel_q"]
+    w_scale = p["w_scale"].reshape((p["w_scale"].shape[-1],))
+    w_deq = kernel_q.astype(jnp.float32) * w_scale  # [..., in, out]
+    gf = g.astype(jnp.float32)
+    dx = jax.lax.dot_general(
+        gf, w_deq, (((gf.ndim - 1,), (w_deq.ndim - 1,)), ((), ()))
+    )
+
+    def zero_ct(t):  # int8 kernels take float0 cotangents, floats take zeros
+        if jnp.issubdtype(t.dtype, jnp.inexact):
+            return jnp.zeros_like(t)
+        return np.zeros(t.shape, jax.dtypes.float0)
+
+    return jax.tree.map(zero_ct, p), dx.astype(x_proto.dtype)
+
+
+quantized_linear.defvjp(_quantized_linear_fwd, _quantized_linear_bwd)
 
 
 def quantize_kernel_w4(kernel, group: int = 128):

@@ -162,6 +162,10 @@ def main(argv=None):
     parser.add_argument("--data", type=str, default=None, help="directory of per-example .npz files")
     parser.add_argument("--synthetic", type=int, default=0, help="train on N random examples instead of --data")
     parser.add_argument("--mode", choices=("lora", "full"), default="lora")
+    parser.add_argument("--quantize", choices=("none", "w8", "w4"), default="none",
+                        help="QLoRA: freeze the base DiT as W8A8/W4A8 (ops.quant) and train "
+                        "bf16 adapters over it — the HBM lever for 13-14B fine-tuning on one "
+                        "chip; --mode lora only")
     parser.add_argument("--rank", type=int, default=16, help="LoRA rank")
     parser.add_argument("--lora_scale", type=float, default=1.0, help="alpha/rank scale applied at merge")
     parser.add_argument("--lr", type=float, default=1e-4)
@@ -257,6 +261,14 @@ def main(argv=None):
 
     base = pipe.transformer_params
     mesh = None
+    if args.quantize != "none":
+        if args.mode != "lora":
+            parser.error("--quantize requires --mode lora (the quantized base is frozen; train adapters)")
+        from alg_tpu.ops.quant import quantize_transformer_params
+
+        base = quantize_transformer_params(base, mode=args.quantize)
+        logger.info("QLoRA: base DiT frozen as %s; gradients flow through the "
+                    "dequantized-weight custom VJP", args.quantize)
     if args.mode == "lora":
         prefixes, peft_paths = FAMILY_PEFT[family]
         trainable = init_lora_params(

@@ -30,7 +30,9 @@ from alg_tpu.training.lora import (
     HUNYUAN_PEFT_PATHS,
     WAN_PEFT_PATHS,
     apply_lora,
+    attach_lora,
     init_lora_params,
+    has_quantized_kernels,
     make_lora_loss,
     to_peft_state,
 )
@@ -59,6 +61,8 @@ __all__ = [
     "shift_sigmas",
     "init_lora_params",
     "apply_lora",
+    "attach_lora",
+    "has_quantized_kernels",
     "make_lora_loss",
     "to_peft_state",
     "DEFAULT_TARGETS",

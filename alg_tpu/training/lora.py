@@ -35,15 +35,20 @@ DEFAULT_TARGETS: Tuple[str, ...] = (
 )
 
 
+_KERNEL_LEAVES = ("kernel", "kernel_q", "kernel_q4")
+
+
 def _target_kernels(params, targets: Sequence[str], prefixes=None):
-    """[(path_keys, kernel_leaf)] for every targeted linear in the tree."""
+    """[(path_keys, leaf_name, kernel_leaf)] for every targeted linear in the
+    tree — bf16 ("kernel") and quantized ("kernel_q" W8A8 / "kernel_q4" W4A8)
+    bases both qualify, so adapters can train over a frozen quantized base."""
     out = []
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         keys = tuple(str(getattr(p, "key", p)) for p in path)
-        if len(keys) >= 2 and keys[-1] == "kernel" and keys[-2] in targets:
+        if len(keys) >= 2 and keys[-1] in _KERNEL_LEAVES and keys[-2] in targets:
             if prefixes is not None and keys[0] not in prefixes:
                 continue
-            out.append((keys[:-1], leaf))
+            out.append((keys[:-1], keys[-1], leaf))
     return out
 
 
@@ -61,8 +66,10 @@ def init_lora_params(
     (Hunyuan) the token-refiner, whose linears share target names.
     """
     loras = {}
-    for i, (mod_path, w) in enumerate(_target_kernels(params, targets, prefixes)):
+    for i, (mod_path, leaf_name, w) in enumerate(_target_kernels(params, targets, prefixes)):
         lead, kin, kout = w.shape[:-2], w.shape[-2], w.shape[-1]
+        if leaf_name == "kernel_q4":
+            kin *= 2  # W4A8 packs two int4 codes per stored IN row
         a = jax.random.normal(
             jax.random.fold_in(key, i), lead + (kin, rank), jnp.float32
         ) * (1.0 / rank)
@@ -94,15 +101,58 @@ def apply_lora(params, loras, scale: float = 1.0):
     return rec(params, ())
 
 
+def attach_lora(params, loras, scale: float = 1.0):
+    """Return a param tree with UNMERGED adapters attached: each adapted
+    module dict gains ``lora_A`` / ``lora_B·scale`` leaves, which
+    :func:`alg_tpu.models.layers.linear` reads as ``y += (x·A)·B``.
+
+    Mathematically identical to :func:`apply_lora` (``x·(W + A·B·s) =
+    x·W + (x·A)·(B·s)``) but the base kernels are untouched — this is the
+    QLoRA path for W8A8/W4A8 bases, where merging would have to materialize
+    a bf16 copy of the int8/int4 weights. Works for bf16 bases too.
+    """
+
+    def rec(node, prefix):
+        if isinstance(node, dict):
+            out = {k: rec(v, prefix + (k,)) for k, v in node.items()}
+            has_kernel = any(k in out for k in _KERNEL_LEAVES)
+            lp = loras.get("/".join(prefix)) if has_kernel else None
+            if lp is not None:
+                out["lora_A"] = lp["A"]
+                out["lora_B"] = lp["B"] * scale
+            return out
+        return node
+
+    return rec(params, ())
+
+
+def has_quantized_kernels(params) -> bool:
+    """True when the tree holds W8A8/W4A8 kernels (ops.quant layouts)."""
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        if keys and keys[-1] in ("kernel_q", "kernel_q4"):
+            return True
+    return False
+
+
 def make_lora_loss(
-    loss_fn: Callable, base_params, scale: float = 1.0
+    loss_fn: Callable, base_params, scale: float = 1.0, attach: bool = None
 ) -> Callable:
     """``loss(loras, batch, key)`` — the full-params loss with the base
     frozen in the closure; feed to :func:`alg_tpu.training.make_train_step`
-    with the LoRA tree as the trainable params."""
+    with the LoRA tree as the trainable params.
+
+    ``attach`` selects merged (:func:`apply_lora`, False) vs attached
+    (:func:`attach_lora`, True) application; the default (None) attaches
+    exactly when the base is quantized — QLoRA — since merging into an
+    int8/int4 base is impossible without materializing bf16 weights.
+    """
+    if attach is None:
+        attach = has_quantized_kernels(base_params)
+    bind = attach_lora if attach else apply_lora
 
     def lora_loss(loras, batch, key):
-        return loss_fn(apply_lora(base_params, loras, scale), batch, key)
+        return loss_fn(bind(base_params, loras, scale), batch, key)
 
     return lora_loss
 

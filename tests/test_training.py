@@ -7,6 +7,7 @@ round-trip through io/lora's merge path).
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -346,3 +347,73 @@ def test_lora_training_freezes_base_and_roundtrips_to_peft():
     merged_tr = apply_lora(base, loras_t, scale=1.0)
     for la, lb in zip(jax.tree.leaves(merged_io), jax.tree.leaves(merged_tr)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+def test_attach_lora_matches_apply_lora():
+    """Attached adapters (lora_A/lora_B leaves read by models.layers.linear)
+    are the same function as merged adapters: x·(W + A·B·s) = x·W + (x·A)·(B·s)."""
+    from alg_tpu.training import attach_lora  # noqa: F401 (public export)
+
+    cfg = _tiny_cog_cfg()
+    base = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    loras = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
+    loras = jax.tree.map(lambda x: x + 0.03, loras)  # nonzero B → nonzero delta
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    batch = _cog_batch()
+    k = jax.random.PRNGKey(5)
+    l_merge = float(make_lora_loss(loss_fn, base, scale=0.7, attach=False)(loras, batch, k))
+    l_attach = float(make_lora_loss(loss_fn, base, scale=0.7, attach=True)(loras, batch, k))
+    assert np.allclose(l_merge, l_attach, rtol=1e-5), (l_merge, l_attach)
+
+
+@pytest.mark.parametrize("mode", ["w8", "w4"])
+def test_qlora_trains_over_quantized_base(mode):
+    """QLoRA: adapters train over a FROZEN W8A8/W4A8 base. make_lora_loss
+    auto-detects the quantized base and attaches (never merges) the adapters;
+    gradients reach EVERY layer's adapters through the downstream quantized
+    linears via the dequantized-weight custom VJP (ops/quant.py)."""
+    from alg_tpu.ops.quant import quantize_transformer_params
+    from alg_tpu.training import has_quantized_kernels
+
+    # inner dim 128 / fc 512 so the block linears clear ops.quant's
+    # _is_big_linear threshold (and w4's group-128 IN-divisibility)
+    cfg = CogVideoXTransformerConfig(
+        num_attention_heads=4, attention_head_dim=32, in_channels=8,
+        out_channels=4, time_embed_dim=16, text_embed_dim=12, num_layers=2,
+        sample_height=4, sample_width=4, max_text_seq_length=4,
+        use_rotary_positional_embeddings=False,
+    )
+    base = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    qbase = quantize_transformer_params(base, mode=mode)
+    assert has_quantized_kernels(qbase)
+    q_copy = jax.tree.map(lambda x: np.asarray(x).copy(), qbase)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    batch = _cog_batch()
+    targets = ("to_q", "to_k", "to_v", "to_out", "fc_in", "fc_out")
+
+    # the quantized tree yields the same adapter set (and shapes) as bf16
+    loras = init_lora_params(jax.random.PRNGKey(1), qbase, rank=4, targets=targets)
+    ref_loras = init_lora_params(jax.random.PRNGKey(1), base, rank=4, targets=targets)
+    assert set(loras) == set(ref_loras)
+    for path in loras:
+        assert loras[path]["A"].shape == ref_loras[path]["A"].shape, path
+        assert loras[path]["B"].shape == ref_loras[path]["B"].shape, path
+
+    # B=0 ⇒ the adapted quantized model starts exactly at the quantized base
+    k = jax.random.PRNGKey(2)
+    ql_loss = make_lora_loss(loss_fn, qbase)  # auto: attach (QLoRA)
+    assert np.allclose(float(loss_fn(qbase, batch, k)), float(ql_loss(loras, batch, k)), rtol=1e-6)
+
+    step, opt = make_train_step(ql_loss, TrainConfig(learning_rate=1e-2, weight_decay=0.0))
+    loras_t, _, losses = _run_steps(jax.jit(step), loras, opt.init(loras), batch, 60)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.9 * np.mean(losses[:5]), losses
+    # every adapter of every stacked layer moved — incl. layer 0 behind the
+    # downstream quantized linears (the custom VJP carries the gradient)
+    for path, ab in loras_t.items():
+        b = np.abs(np.asarray(ab["B"]))
+        per_layer = b.reshape(b.shape[0], -1).max(axis=-1) if b.ndim == 3 else b.max(keepdims=True)
+        assert (per_layer > 0).all(), path
+    # the frozen base never moves
+    for la, lb in zip(jax.tree.leaves(qbase), jax.tree.leaves(q_copy)):
+        np.testing.assert_array_equal(np.asarray(la), lb)
