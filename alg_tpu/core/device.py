@@ -44,6 +44,20 @@ def _parse_scan_chunk(raw: str) -> int:
 SCAN_CHUNK = _parse_scan_chunk(os.environ.get("ALG_TPU_SCAN_CHUNK", "8"))
 
 
+def seg_chunk(length: int) -> int:
+    """Uniform per-segment chunk size: the largest divisor of ``length`` that
+    is <= SCAN_CHUNK (>= 1). Dividing a sampler segment into EQUAL chunks
+    means every chunk lowers to the SAME XLA program — a greedy
+    min(SCAN_CHUNK, remaining) split leaves a ragged tail chunk whose
+    one-off program otherwise compiles mid-run (e.g. HunyuanVideo's single
+    50-step segment: 6x8+2 → two programs; 10x5 → one), which both bloats
+    cold-start compile time and pollutes timed bench runs."""
+    for c in range(min(SCAN_CHUNK, length), 0, -1):
+        if length % c == 0:
+            return c
+    return 1
+
+
 def sync(x=None) -> None:
     """Force the device queue to drain (tiny device→host fetch)."""
     if x is None:

@@ -26,6 +26,29 @@ import jax.numpy as jnp
 from alg_tpu.ops.flash_attention import flash_attention, supports_flash
 
 
+def _pallas_diff(q, k, v, scale, causal, kv_len, bias, stable, prolog=None):
+    """Route a Pallas attention call through the ``custom_vjp`` wrapper so
+    ``jax.grad`` works on TPU (ops/flash_attention_bwd.py). Inference is
+    unchanged — the wrapper's primal is the same fused kernel call."""
+    from alg_tpu.ops.flash_attention_bwd import FAStatic, flash_attention_diff
+
+    p = prolog or {}
+    static = FAStatic(
+        scale=float(scale),
+        causal=bool(causal),
+        stable=bool(stable),
+        norm=p.get("norm"),
+        eps=float(p.get("eps", 1e-6)),
+        has_rope=p.get("cos") is not None,
+    )
+    arrs = {
+        key: p[key]
+        for key in ("q_scale", "q_bias", "k_scale", "k_bias", "cos", "sin")
+        if p.get(key) is not None
+    } or None
+    return flash_attention_diff(static, q, k, v, kv_len, bias, arrs)
+
+
 def _xla_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -345,9 +368,7 @@ def _shard_map_attention(q, k, v, scale, causal, kv_len, stable):
             k = jax.lax.all_gather(k, sa, axis=2, tiled=True)
             v = jax.lax.all_gather(v, sa, axis=2, tiled=True)
         if use_pallas:
-            o = flash_attention(
-                q, k, v, scale=scale, causal=causal, kv_len=kv_len, stable=stable
-            )
+            o = _pallas_diff(q, k, v, scale, causal, kv_len, None, stable)
         else:
             o = _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len)
         if ulysses_kv:
@@ -462,22 +483,11 @@ def attention(
 
         return flash_attention_int8(q, k, v, scale=scale)
     if impl == "pallas":
-        if prolog is not None:
-            return flash_attention(
-                q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias,
-                stable=stable,
-                qk_norm=prolog.get("norm"),
-                norm_eps=prolog.get("eps", 1e-6),
-                q_norm_scale=prolog.get("q_scale"),
-                q_norm_bias=prolog.get("q_bias"),
-                k_norm_scale=prolog.get("k_scale"),
-                k_norm_bias=prolog.get("k_bias"),
-                rope_cos=prolog.get("cos"),
-                rope_sin=prolog.get("sin"),
-            )
-        return flash_attention(
-            q, k, v, scale=scale, causal=causal, kv_len=kv_len, bias=bias, stable=stable
-        )
+        # every Pallas call goes through the custom_vjp wrapper: the primal is
+        # the identical fused kernel (zero inference cost), and jax.grad gets
+        # the Pallas dq/dkv backward (flash_attention_bwd.py) instead of the
+        # NotImplementedError a bare pallas_call raises
+        return _pallas_diff(q, k, v, scale, causal, kv_len, bias, stable, prolog)
     if prolog is not None:
         q, k = _apply_prolog_xla(q, k, prolog)
     return _xla_attention(q, k, v, scale, causal=causal, kv_len=kv_len, bias=bias)

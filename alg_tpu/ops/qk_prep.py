@@ -103,6 +103,34 @@ def _xla_compose(x, normp, cos, sin, eps):
     return R.apply_rope_interleaved(y, cos, sin)
 
 
+# custom_vjp wrapper: a bare pallas_call has no VJP rule, so training (LoRA /
+# full fine-tune on the TPU backend, where bf16 DiT activations take the
+# fused kernel) would die in NotImplementedError. The backward is elementwise
+# (LayerNorm + rotation) — differentiating the numerically-identical XLA
+# composition recovers it exactly, and XLA's fused elementwise backward is
+# already bandwidth-optimal there.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _qk_prep_diff(eps, block_s, interpret, x, scale, bias, cos, sin):
+    return _qk_prep_pallas(x, scale, bias, cos, sin, eps, block_s, interpret)
+
+
+def _qk_prep_diff_fwd(eps, block_s, interpret, x, scale, bias, cos, sin):
+    out = _qk_prep_pallas(x, scale, bias, cos, sin, eps, block_s, interpret)
+    return out, (x, scale, bias, cos, sin)
+
+
+def _qk_prep_diff_bwd(eps, block_s, interpret, res, g):
+    x, scale, bias, cos, sin = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_, c_, sn_: _xla_compose(x_, {"scale": s_, "bias": b_}, c_, sn_, eps),
+        x, scale, bias, cos, sin,
+    )
+    return vjp(g)
+
+
+_qk_prep_diff.defvjp(_qk_prep_diff_fwd, _qk_prep_diff_bwd)
+
+
 def qk_norm_rope(
     x: jnp.ndarray,  # [B, H, S, D]
     normp: dict,  # {"scale": [D], "bias": [D]}
@@ -144,14 +172,14 @@ def qk_norm_rope(
     if use_pallas:
         block_s = _choose_block_s(x.shape[2])
         if block_s >= 128:
-            return _qk_prep_pallas(
+            return _qk_prep_diff(
+                float(eps),
+                block_s,
+                interpret,
                 x,
                 normp["scale"],
                 normp["bias"],
                 jnp.asarray(cos),
                 jnp.asarray(sin),
-                float(eps),
-                block_s,
-                interpret,
             )
     return _xla_compose(x, normp, cos, sin, eps)

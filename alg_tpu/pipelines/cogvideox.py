@@ -469,6 +469,7 @@ class CogVideoXPipeline:
         step_observer=None,
         checkpoint=None,
         cache_interval: int = 1,
+        stop_after=None,
     ):
         tcfg = self.transformer_cfg
         use_dpm = self.scheduler == "dpm"
@@ -618,7 +619,7 @@ class CogVideoXPipeline:
 
         import functools as _ft
 
-        from alg_tpu.core.device import SCAN_CHUNK
+        from alg_tpu.core.device import seg_chunk
 
         def _range_runner(tp):
             @_ft.partial(jax.jit, static_argnames=("n",))
@@ -649,14 +650,21 @@ class CogVideoXPipeline:
                     continue
                 runner = run3 if (seg.three_pass and do_cfg and alg) else run2
                 i = max(seg.start, start)
+                chunk = seg_chunk(seg.stop - i)
                 while i < seg.stop:
                     if self.interrupt:
                         return carry[0]
-                    n = min(SCAN_CHUNK, seg.stop - i)
+                    n = min(chunk, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
                     if checkpoint is not None:
                         checkpoint.maybe_save(i, carry)
+                    if stop_after is not None and i >= stop_after:
+                        # bench warm-up hook (host-side, never traced): stop as
+                        # soon as every per-pass-count program has executed —
+                        # compiles and caches the full run at a fraction of
+                        # its device time (VERDICT r3 #2b)
+                        return carry[0]
             if checkpoint is not None:
                 checkpoint.complete()
             return carry[0]

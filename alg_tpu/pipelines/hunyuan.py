@@ -516,6 +516,7 @@ class HunyuanVideoPipeline:
         step_observer=None,
         checkpoint=None,
         cache_interval: int = 1,
+        stop_after=None,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
@@ -670,7 +671,7 @@ class HunyuanVideoPipeline:
                 return (new_latents, noise_pred), ()
             return new_latents, ()
 
-        from alg_tpu.core.device import SCAN_CHUNK
+        from alg_tpu.core.device import seg_chunk
 
         def _range_runner(tp):
             @functools.partial(jax.jit, static_argnames=("n",))
@@ -702,14 +703,19 @@ class HunyuanVideoPipeline:
                     continue
                 runner = run3 if seg.three_pass else run2
                 i = max(seg.start, start)
+                chunk = seg_chunk(seg.stop - i)
                 while i < seg.stop:
                     if self.interrupt:
                         return carry_latents(carry)
-                    n = min(SCAN_CHUNK, seg.stop - i)
+                    n = min(chunk, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
                     if checkpoint is not None:
                         checkpoint.maybe_save(i, carry)
+                    if stop_after is not None and i >= stop_after:
+                        # bench warm-up hook (host-side, never traced):
+                        # see cogvideox._sample
+                        return carry_latents(carry)
             if checkpoint is not None:
                 checkpoint.complete()
             return carry_latents(carry)

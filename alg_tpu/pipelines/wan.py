@@ -421,6 +421,7 @@ class WanPipeline:
         step_observer=None,
         checkpoint=None,
         cache_interval: int = 1,
+        stop_after=None,
     ):
         tcfg = self.transformer_cfg
         alg = lp_plan.active
@@ -554,7 +555,7 @@ class WanPipeline:
 
         import functools as _ft
 
-        from alg_tpu.core.device import SCAN_CHUNK
+        from alg_tpu.core.device import seg_chunk
 
         def _range_runner(tp):
             @_ft.partial(jax.jit, static_argnames=("n",))
@@ -584,14 +585,19 @@ class WanPipeline:
                     continue
                 runner = run3 if (seg.three_pass and do_cfg and alg) else run2
                 i = max(seg.start, start)
+                chunk = seg_chunk(seg.stop - i)
                 while i < seg.stop:
                     if self.interrupt:
                         return carry[0]
-                    n = min(SCAN_CHUNK, seg.stop - i)
+                    n = min(chunk, seg.stop - i)
                     carry = runner(carry, data, jnp.int32(i), n)
                     i += n
                     if checkpoint is not None:
                         checkpoint.maybe_save(i, carry)
+                    if stop_after is not None and i >= stop_after:
+                        # bench warm-up hook (host-side, never traced):
+                        # see cogvideox._sample
+                        return carry[0]
             if checkpoint is not None:
                 checkpoint.complete()
             return carry[0]

@@ -15,6 +15,13 @@ latency is measured separately and subtracted. Weights are random-initialized
 host-side and streamed to the device (no network egress; identical FLOP graph
 to real weights — on-device random init would exceed the memory ceiling).
 
+Driver-budget protocol (VERDICT r3 #2b): the warm-up call runs with
+``stop_after=10`` — it compiles both pass-count programs (hitting the
+persistent cache at /root/.cache/jax_tpu_cache when warm) but executes only
+10 of the 50 steps; exactly ONE full 50-step run is then timed. Phase timings
+(weights / compile+warmup / timed run) go to stderr; stdout remains the single
+parsed JSON line.
+
 Prints ONE JSON line vs an A100 reference of 0.185 steps/s (≈270 s for 50
 steps — community-reported CogVideoX-5b-I2V bf16 single-A100 timing; the
 reference repo publishes no numbers, BASELINE.md).
@@ -59,6 +66,7 @@ def _parse_cache() -> int:
 
 
 CACHE = _parse_cache()
+T_START = time.perf_counter()
 
 
 def main():
@@ -119,7 +127,7 @@ def main():
     g_table = np.full(STEPS, 6.0, np.float32)
     rope_cos, rope_sin = cogvideox_rope(tcfg, 480, 720, f)
 
-    def sample():
+    def sample(stop_after=None):
         return pipe._sample(
             latents0,
             image_latents,
@@ -134,13 +142,20 @@ def main():
             True,  # do_cfg
             None,  # dpm_noise
             cache_interval=CACHE,
+            stop_after=stop_after,
         )
 
     def sync(x):
         return np.asarray(x[0, 0, 0, :1, :1])
 
-    out = sample()
-    sync(out)  # compile + first full 50-step run
+    t_setup = time.perf_counter()
+    # Warm-up: compiles BOTH pass-count programs but executes only 10 of the
+    # 50 steps (3-pass chunk once, 2-pass chunk once) — the driver-budget fix
+    # of VERDICT r3 #2b: one timed full run instead of two, and the warm-up
+    # costs ~1/5 of a run on top of the (persistent-cached) compiles.
+    out = sample(stop_after=10)
+    sync(out)
+    t_compile = time.perf_counter()
     t0 = time.perf_counter()
     sync(out)
     t_fetch = time.perf_counter() - t0
@@ -149,6 +164,14 @@ def main():
     out = sample()
     sync(out)
     dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
+    # phase budget on stderr (stdout stays the single parsed JSON line)
+    print(
+        f"bench phases: setup+weights {t_setup - T_START:.0f}s, "
+        f"compile+warmup(10 steps) {t_compile - t_setup:.0f}s, "
+        f"timed 50-step run {dt:.0f}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     steps_per_sec = STEPS / dt
     suffix = {(False, False): "", (True, False): "_int8", (False, True): "_int8attn",
