@@ -137,6 +137,72 @@ def synth_examples(family: str, pipe, n: int, gen: dict, seed: int):
     return out
 
 
+def random_init_pipeline(family: str, cfg, quantize: str):
+    """Full-size random-init pipeline (the ``bench.py`` approach): proves a
+    training configuration on real hardware without network egress — the FLOP
+    graph and memory profile are identical to real weights. With ``--quantize``
+    the tree is quantized HOST-side before streaming (the device never holds
+    the bf16 originals; the only way 13-14B QLoRA fits one v5e chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from alg_tpu.core.device import host_init_params
+    from alg_tpu.ops.quant import host_init_quantized_params
+
+    dtype = cfg.model_dtype
+
+    def mk(init_fn):
+        if quantize != "none":
+            return host_init_quantized_params(init_fn, mode=quantize)
+        return host_init_params(init_fn)
+
+    if family == "cogvideox":
+        from alg_tpu.models.cogvideox import (
+            CogVideoXTransformerConfig,
+            CogVideoXVAEConfig,
+            init_cogvideox_transformer,
+        )
+        from alg_tpu.pipelines import CogVideoXPipeline
+
+        tcfg = CogVideoXTransformerConfig()
+        params = mk(lambda: init_cogvideox_transformer(jax.random.PRNGKey(0), tcfg, dtype=dtype))
+        return CogVideoXPipeline(
+            transformer_cfg=tcfg, transformer_params=params,
+            vae_cfg=CogVideoXVAEConfig(), vae_params=None,
+            scheduler="ddim", dtype=dtype,
+        )
+    if family == "wan":
+        from alg_tpu.models.wan import WanTransformerConfig, WanVAEConfig, init_wan_transformer
+        from alg_tpu.pipelines import WanPipeline
+        from alg_tpu.schedulers import UniPCConfig
+
+        tcfg = WanTransformerConfig()
+        params = mk(lambda: init_wan_transformer(jax.random.PRNGKey(0), tcfg, dtype=dtype))
+        return WanPipeline(
+            transformer_cfg=tcfg, transformer_params=params,
+            vae_cfg=WanVAEConfig(), vae_params=None,
+            scheduler_cfg=UniPCConfig(flow_shift=5.0), dtype=dtype,
+        )
+    if family == "hunyuan":
+        from alg_tpu.models.hunyuan import (
+            HunyuanVAEConfig,
+            HunyuanVideoTransformerConfig,
+            init_hunyuan_transformer,
+        )
+        from alg_tpu.pipelines import HunyuanVideoPipeline
+        from alg_tpu.schedulers import FlowMatchEulerConfig
+
+        tcfg = HunyuanVideoTransformerConfig()
+        params = mk(lambda: init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg, dtype=dtype))
+        return HunyuanVideoPipeline(
+            transformer_cfg=tcfg, transformer_params=params,
+            vae_cfg=HunyuanVAEConfig(), vae_params=None,
+            scheduler_cfg=FlowMatchEulerConfig(shift=7.0, invert_sigmas=False),
+            dtype=dtype,
+        )
+    raise ValueError(family)  # pragma: no cover
+
+
 def batches(examples, batch_size: int, steps: int, seed: int, start: int = 0):
     """Shuffled epochs over in-memory examples (synthetic mode), stacked into
     host batches; ``start`` skips batches without materializing them (resume
@@ -161,6 +227,10 @@ def main(argv=None):
     parser.add_argument("--model_cache_dir", type=str, default=None)
     parser.add_argument("--data", type=str, default=None, help="directory of per-example .npz files")
     parser.add_argument("--synthetic", type=int, default=0, help="train on N random examples instead of --data")
+    parser.add_argument("--random_init", action="store_true",
+                        help="full-size random-init weights instead of loading the checkpoint "
+                             "(hardware/memory/throughput validation of a run config; with "
+                             "--quantize the base streams pre-quantized, never bf16)")
     parser.add_argument("--mode", choices=("lora", "full"), default="lora")
     parser.add_argument("--quantize", choices=("none", "w8", "w4"), default="none",
                         help="QLoRA: freeze the base DiT as W8A8/W4A8 (ops.quant) and train "
@@ -217,8 +287,14 @@ def main(argv=None):
     cfg = load_run_config(args.config)
     args.cfg_generation = cfg.generation
     family = cfg.family
-    pipe = load_pipeline(cfg, args.model_cache_dir)
-    logger.info("Loaded %s pipeline for fine-tuning (%s mode)", family, args.mode)
+    if args.random_init:
+        pipe = random_init_pipeline(family, cfg, args.quantize)
+        logger.info("Random-init %s pipeline (full-size%s) for fine-tuning (%s mode)",
+                    family, f", host-quantized {args.quantize}" if args.quantize != "none" else "",
+                    args.mode)
+    else:
+        pipe = load_pipeline(cfg, args.model_cache_dir)
+        logger.info("Loaded %s pipeline for fine-tuning (%s mode)", family, args.mode)
 
     from alg_tpu.training.data import LatentDataset, prefetch
 
@@ -264,9 +340,10 @@ def main(argv=None):
     if args.quantize != "none":
         if args.mode != "lora":
             parser.error("--quantize requires --mode lora (the quantized base is frozen; train adapters)")
-        from alg_tpu.ops.quant import quantize_transformer_params
+        if not args.random_init:  # --random_init streams the tree pre-quantized
+            from alg_tpu.ops.quant import quantize_transformer_params
 
-        base = quantize_transformer_params(base, mode=args.quantize)
+            base = quantize_transformer_params(base, mode=args.quantize)
         logger.info("QLoRA: base DiT frozen as %s; gradients flow through the "
                     "dequantized-weight custom VJP", args.quantize)
     if args.mode == "lora":

@@ -88,7 +88,7 @@ def main():
     )
     guidance = jnp.full((1,), 6.0 * 1000.0, jnp.float32)
 
-    def sample():
+    def sample(stop_after=None):
         return pipe._sample(
             latents0, image_latents, embeds, pooled, mask,
             None, None, None,  # no negative embeds (true_cfg 1.0)
@@ -98,6 +98,7 @@ def main():
             guidance,
             False,  # lp_on_noisy_latent
             None,   # pixel_image (latent mode)
+            stop_after=stop_after,
         )
 
     def sync(x):
@@ -109,8 +110,10 @@ def main():
     np.asarray(z.ravel()[:1])
     t_fetch = time.perf_counter() - t0
 
-    print("compiling + first run...", flush=True)
-    out = sample()
+    # warm-up executes 10/50 steps but compiles both segment programs
+    # (3-pass [0,2) n=2, 2-pass [2,50) n=8 — bench.py protocol, VERDICT r3 #2b)
+    print("compiling + 10-step warmup...", flush=True)
+    out = sample(stop_after=10)
     sync(out)
     t0 = time.perf_counter()
     out = sample()
