@@ -56,13 +56,31 @@ _NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
 
+def target_platform() -> str:
+    """Best-effort platform the CURRENT trace will execute on.
+
+    An active ``with mesh:`` context wins over the default backend: a pjit'd
+    step over a CPU-device mesh (the multi-chip validation substitute while a
+    TPU is attached) lowers for CPU, where ``pallas_call`` cannot lower —
+    the trace must pick XLA kernels there even though ``jax.devices()[0]``
+    is the TPU."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        pm = mesh_lib.thread_resources.env.physical_mesh
+        if not pm.empty:
+            return pm.devices.flat[0].platform
+    except Exception:  # pragma: no cover - internal API drift: fall through
+        pass
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
 def supports_flash(q, k, v, bias) -> bool:
     """Use the Pallas kernel on real TPU backends only (CPU tests use XLA)."""
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
-        return False
-    if platform not in ("tpu", "axon"):
+    if target_platform() not in ("tpu", "axon"):
         return False
     # kernel constraints: seq lengths handled via padding inside flash_attention
     return True
@@ -172,7 +190,12 @@ def _fwd_kernel(
 
     # fp32 inputs get full-precision MXU passes (fixed-seed parity runs);
     # bf16 inputs take the fast path
-    precision = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
+    # explicit DEFAULT for bf16: `None` would inherit the process-wide
+    # jax_default_matmul_precision, and "highest" asks Mosaic for an fp32
+    # contraction of bf16 vectors — unsupported ("Bad lhs type"). bf16 MXU
+    # passes accumulate in fp32 regardless, so DEFAULT loses nothing.
+    precision = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
 
     @pl.when(run)
     def _compute():

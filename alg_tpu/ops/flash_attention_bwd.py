@@ -114,7 +114,11 @@ def _dq_kernel(
     run = True
     if causal:  # whole block above the causal diagonal → contributes nothing
         run = k_start <= q_start + (sk_orig - sq_orig) + block_q - 1
-    precision = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
+    # DEFAULT (not None) for bf16 — see _fwd_kernel: a global "highest"
+    # matmul-precision config would request an unsupported fp32 contraction
+    # of bf16 vectors from Mosaic
+    precision = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
 
     @pl.when(run)
     def _compute():
@@ -168,7 +172,11 @@ def _dkv_kernel(
     run = True
     if causal:
         run = k_start <= q_start + (sk_orig - sq_orig) + block_q - 1
-    precision = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
+    # DEFAULT (not None) for bf16 — see _fwd_kernel: a global "highest"
+    # matmul-precision config would request an unsupported fp32 contraction
+    # of bf16 vectors from Mosaic
+    precision = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
 
     @pl.when(run)
     def _compute():

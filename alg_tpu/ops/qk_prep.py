@@ -158,13 +158,10 @@ def qk_norm_rope(
         if os.environ.get("ALG_TPU_QK_PREP") == "xla":
             return _xla_compose(x, normp, cos, sin, eps)
         from alg_tpu.ops.attention import _MESH_CTX  # sharded calls stay on XLA
+        from alg_tpu.ops.flash_attention import target_platform
 
-        try:
-            platform = jax.devices()[0].platform
-        except Exception:  # pragma: no cover
-            platform = "cpu"
         use_pallas = (
-            platform in ("tpu", "axon")
+            target_platform() in ("tpu", "axon")
             and _MESH_CTX is None
             and x.dtype == jnp.bfloat16
             and x.shape[-1] in (64, 128)
