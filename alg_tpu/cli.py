@@ -101,6 +101,9 @@ def run(args):
         cfg, args.model_cache_dir, quantize=args.quantize,
         lora=getattr(args, "lora", None), lora_scale=getattr(args, "lora_scale", 1.0),
     )
+    gmb = getattr(args, "guidance_microbatch", 0)
+    if gmb and hasattr(pipe, "guidance_microbatch"):
+        pipe.guidance_microbatch = gmb
 
     logger.info("Pipeline loaded successfully.")
 
@@ -163,6 +166,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="optional denoise-state snapshot file: the run saves progress "
         "here and resumes from it after an interruption (beyond-parity)",
+    )
+    parser.add_argument(
+        "--guidance_microbatch", type=int, default=0,
+        help="run CFG/ALG guidance passes sequentially in micro-batches of N "
+        "samples instead of one batched forward (Wan family): ~(passes/N)× "
+        "lower activation memory, ~free at production sequence lengths — the "
+        "knob that fits Wan-14B W4A8 on one 16 GB chip (beyond-parity)",
     )
     parser.add_argument(
         "--lora", type=str, default=None,

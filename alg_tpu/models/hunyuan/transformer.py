@@ -332,8 +332,10 @@ def hunyuan_transformer(
         kj = jnp.concatenate([k, ck], axis=2)
         vj = jnp.concatenate([v, cv], axis=2)
         if rc is not None:
-            qj = R.apply_rope_interleaved(qj, jnp.asarray(rc), jnp.asarray(rs))
-            kj = R.apply_rope_interleaved(kj, jnp.asarray(rc), jnp.asarray(rs))
+            from alg_tpu.ops.qk_prep import rope_interleaved
+
+            qj = rope_interleaved(qj, jnp.asarray(rc), jnp.asarray(rs))
+            kj = rope_interleaved(kj, jnp.asarray(rc), jnp.asarray(rs))
         oj = attention(qj, kj, vj, kv_len=kv_len, stable=False)
         oj = unheads(oj)
         xo, to = oj[:, :seq_v], oj[:, seq_v:]
@@ -388,8 +390,10 @@ def hunyuan_transformer(
         k = L.rms_norm(a["norm_k"], heads(L.linear(a["to_k"], xn)), 1e-6, offset=0.0)
         v = heads(L.linear(a["to_v"], xn))
         if rc is not None:
-            q = R.apply_rope_interleaved(q, jnp.asarray(rc), jnp.asarray(rs))
-            k = R.apply_rope_interleaved(k, jnp.asarray(rc), jnp.asarray(rs))
+            from alg_tpu.ops.qk_prep import rope_interleaved
+
+            q = rope_interleaved(q, jnp.asarray(rc), jnp.asarray(rs))
+            k = rope_interleaved(k, jnp.asarray(rc), jnp.asarray(rs))
         o = unheads(attention(q, k, v, kv_len=kv_len, stable=False))
         mlp_out = L.silu(L.linear(bp["proj_mlp"], xn))
         out = L.linear(bp["proj_out"], jnp.concatenate([o, mlp_out], axis=-1))

@@ -149,8 +149,13 @@ def _attn(p, cfg, q_in, kv_in, rope_cos=None, rope_sin=None, extra_kv=None):
     v = L.linear(p["to_v"], kv_in)
     qh, kh, vh = heads(q), heads(k), heads(v)
     if rope_cos is not None:
-        qh = R.apply_rope_interleaved(qh, rope_cos, rope_sin)
-        kh = R.apply_rope_interleaved(kh, rope_cos, rope_sin)
+        # fused single-pass rope on TPU (ops/qk_prep.rope_interleaved); the
+        # norm stays XLA — Wan's RMS norm runs over the full inner dim, so it
+        # can't fuse per-head
+        from alg_tpu.ops.qk_prep import rope_interleaved
+
+        qh = rope_interleaved(qh, rope_cos, rope_sin)
+        kh = rope_interleaved(kh, rope_cos, rope_sin)
     out = attention(qh, kh, vh, stable=False)
 
     if extra_kv is not None:

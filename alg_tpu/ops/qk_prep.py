@@ -131,6 +131,98 @@ def _qk_prep_diff_bwd(eps, block_s, interpret, res, g):
 _qk_prep_diff.defvjp(_qk_prep_diff_fwd, _qk_prep_diff_bwd)
 
 
+def _rope_kernel(x_ref, cos_ref, sin_ref, o_ref):
+    y = x_ref[0]  # [block_s, D]
+    lane = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+    even = (lane % 2) == 0
+    rot = jnp.where(even, -_roll_lane(y, -1), _roll_lane(y, 1))
+    o_ref[0] = y * cos_ref[...] + rot * sin_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def _rope_pallas(x, cos, sin, block_s: int, interpret: bool):
+    b, h, s, d = x.shape
+    xr = x.reshape(b * h, s, d)
+    grid = (s // block_s, b * h)
+    out = pl.pallas_call(
+        _rope_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_s, d), lambda si, bh: (bh, si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), lambda si, bh: (si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), lambda si, bh: (si, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_s, d), lambda si, bh: (bh, si, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), x.dtype),
+        interpret=interpret,
+    )(xr, cos.astype(x.dtype), sin.astype(x.dtype))
+    return out.reshape(b, h, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _rope_diff(block_s, interpret, x, cos, sin):
+    return _rope_pallas(x, cos, sin, block_s, interpret)
+
+
+def _rope_diff_fwd(block_s, interpret, x, cos, sin):
+    return _rope_pallas(x, cos, sin, block_s, interpret), (x, cos, sin)
+
+
+def _rope_diff_bwd(block_s, interpret, res, g):
+    x, cos, sin = res
+    _, vjp = jax.vjp(R.apply_rope_interleaved, x, cos, sin)
+    return vjp(g)
+
+
+_rope_diff.defvjp(_rope_diff_fwd, _rope_diff_bwd)
+
+
+def rope_interleaved(
+    x: jnp.ndarray,  # [B, H, S, D]
+    cos: jnp.ndarray,  # [S, D]
+    sin: jnp.ndarray,
+    force: Optional[str] = None,  # None | "pallas" | "xla" (tests)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Interleaved-pair RoPE, fused to one HBM pass where profitable.
+
+    Semantics are exactly ``models.rope.apply_rope_interleaved`` (tables cast
+    to the activation dtype, lane-roll rotation). XLA lowers that composition
+    with slice+concat rolls whose width-1 slices get lane-padded 128× — at
+    Wan-14B scale ([3,40,32760,128] bf16) that is three ~960 MB HLO temps of
+    pure padding per q/k (measured in the W4A8 OOM report, docs/ROUND4.md).
+    The kernel reads each block once, rotates in VMEM, writes once. Backward
+    (training) differentiates the identical XLA composition (pattern:
+    ``_qk_prep_diff_bwd``). Models whose norm can't fuse per-head (Wan's
+    full-inner-dim RMS norm) use this; per-head-norm models take
+    ``qk_norm_rope``."""
+    use_pallas = force == "pallas"
+    if force is None:
+        import os
+
+        if os.environ.get("ALG_TPU_QK_PREP") == "xla":
+            return R.apply_rope_interleaved(x, cos, sin)
+        from alg_tpu.ops.attention import _MESH_CTX  # sharded calls stay on XLA
+        from alg_tpu.ops.flash_attention import target_platform
+
+        use_pallas = (
+            target_platform() in ("tpu", "axon")
+            and _MESH_CTX is None
+            and x.dtype == jnp.bfloat16
+            and x.ndim == 4
+            and getattr(cos, "ndim", 0) == 2
+            and x.shape[-1] in (64, 128)
+            and cos.shape == (x.shape[2], x.shape[-1])
+        )
+    if use_pallas:
+        block_s = _choose_block_s(x.shape[2])
+        if block_s >= 128:
+            return _rope_diff(block_s, interpret, x, jnp.asarray(cos), jnp.asarray(sin))
+    return R.apply_rope_interleaved(x, cos, sin)
+
+
 def qk_norm_rope(
     x: jnp.ndarray,  # [B, H, S, D]
     normp: dict,  # {"scale": [D], "bias": [D]}

@@ -89,6 +89,13 @@ class WanPipeline:
     # analog): True/False forces it; None = tile only multi-frame clips that
     # are a real HBM risk (see models/vae_tiling.auto_tile_encode)
     vae_encode_tiling: Optional[bool] = None
+    # guidance micro-batching: 0 = one batched DiT forward per step (CFG/ALG
+    # passes concatenated along batch — the throughput default); N>0 = run the
+    # passes sequentially in micro-batches of N samples via lax.scan. Peak
+    # activation memory drops ~(passes/N)×, which is what fits Wan-14B W4A8
+    # (batch-3 ALG segments) in one v5e chip's 16 GB HBM; at S≈33k tokens the
+    # MXU is saturated per pass, so the throughput cost is ~0 (docs/PERF.md)
+    guidance_microbatch: int = 0
     # cooperative interruption (reference ``self._interrupt`` checked each
     # step): set True (e.g. from a step_observer or another thread) to stop
     # the run; chunk-granular in the production scan path, per-step with a
@@ -489,19 +496,40 @@ class WanPipeline:
             mask = data["condition"][:, :4]  # identical mask construction (:530-540)
             return jnp.concatenate([mask, z], axis=1)
 
+        gmb = int(self.guidance_microbatch or 0)
+
         def dit(tparams, lat_in, cond_in, embeds, img_embeds, t):
             x = jnp.concatenate([lat_in, cond_in], axis=1).astype(self.dtype)
-            out = wan_transformer(
-                tparams,
-                tcfg,
-                x,
-                jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32),
-                embeds.astype(self.dtype),
-                img_embeds.astype(self.dtype),
-                rope_cos,
-                rope_sin,
-            )
-            return out.astype(jnp.float32)
+
+            def fwd(xb, eb, ib):
+                out = wan_transformer(
+                    tparams,
+                    tcfg,
+                    xb,
+                    jnp.broadcast_to(t, (xb.shape[0],)).astype(jnp.float32),
+                    eb.astype(self.dtype),
+                    None if ib is None else ib.astype(self.dtype),
+                    rope_cos,
+                    rope_sin,
+                )
+                return out.astype(jnp.float32)
+
+            n = x.shape[0]
+            if gmb and 0 < gmb < n and n % gmb == 0:
+                # sequential guidance passes: scan over [n/gmb, gmb, ...] stacks
+                # so the DiT traces once and only one micro-batch of
+                # activations is live at a time (bit-identical per sample —
+                # batch is a parallel dim everywhere; tests/test_pipeline_wan)
+                def split(a):
+                    return None if a is None else a.reshape(n // gmb, gmb, *a.shape[1:])
+
+                _, outs = jax.lax.scan(
+                    lambda _, mb: (None, fwd(*mb)),
+                    None,
+                    (split(x), split(embeds), split(img_embeds)),
+                )
+                return outs.reshape(n, *outs.shape[2:])
+            return fwd(x, embeds, img_embeds)
 
         # step-cache schedule (beyond-parity; see cogvideox.py _sample): full
         # DiT forward every cache_interval-th step + the final step + every

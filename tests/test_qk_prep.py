@@ -77,3 +77,50 @@ def test_flash_aligned_block_selection():
     assert _aligned_block(1776) == 1776  # whole seq fits one block
     assert _aligned_block(63) == 0                  # prime-ish → padding path
     assert _aligned_block(2048) == 2048
+
+
+# ---------------------------------------------------------------------------
+# rope-only fused kernel (Wan / Hunyuan path — norm can't fuse per-head there)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32], ids=["bf16", "f32"])
+@pytest.mark.parametrize("d", [64, 128])
+def test_rope_kernel_matches_xla(dtype, d):
+    from alg_tpu.ops.qk_prep import rope_interleaved
+
+    x, _, cos, sin = _inputs(dtype, s=256, d=d)
+    ref = R.apply_rope_interleaved(x, cos, sin)
+    out = rope_interleaved(x, cos, sin, force="pallas", interpret=True)
+    assert out.dtype == ref.dtype and out.shape == ref.shape
+    atol, rtol = (2e-2, 1e-2) if dtype == jnp.bfloat16 else (2e-6, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol, rtol=rtol
+    )
+
+
+def test_rope_kernel_grad_matches_xla_autodiff():
+    """custom_vjp backward (XLA-compose) vs autodiff of the reference form."""
+    from alg_tpu.ops.qk_prep import rope_interleaved
+
+    x, _, cos, sin = _inputs(jnp.float32, s=128)
+
+    def f_kernel(x_):
+        return (rope_interleaved(x_, cos, sin, force="pallas", interpret=True) ** 2).sum()
+
+    def f_ref(x_):
+        return (R.apply_rope_interleaved(x_, cos, sin) ** 2).sum()
+
+    gk = jax.grad(f_kernel)(x)
+    gr = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-5, rtol=1e-5)
+
+
+def test_rope_dispatch_falls_back_on_cpu():
+    from alg_tpu.ops.qk_prep import rope_interleaved
+
+    x, _, cos, sin = _inputs(jnp.float32)
+    ref = R.apply_rope_interleaved(x, cos, sin)
+    out = rope_interleaved(x, cos, sin)
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -189,6 +189,34 @@ def test_wan_pipeline_identity_filter_matches_baseline(wan_pipe):
     np.testing.assert_allclose(base, noop, atol=1e-5)
 
 
+def test_wan_guidance_microbatch_matches_batched(wan_pipe):
+    """guidance_microbatch=1 (sequential CFG/ALG passes, the Wan-14B single-chip
+    memory knob) must reproduce the batched sampler: batch is a parallel dim in
+    every op, so per-sample results are identical up to fp accumulation order."""
+    img = np.random.RandomState(7).rand(1, 3, 32, 32).astype(np.float32) * 2 - 1
+    rng = np.random.RandomState(1)
+    kw = dict(
+        image=img,
+        prompt_embeds=jnp.asarray(rng.randn(1, 7, 8).astype(np.float32)),
+        negative_prompt_embeds=jnp.asarray(rng.randn(1, 7, 8).astype(np.float32)),
+        image_embeds=jnp.asarray(rng.randn(1, 5, 10).astype(np.float32)),
+        height=32, width=32, num_frames=9, num_inference_steps=4,
+        guidance_scale=5.0, seed=42, output_type="latent",
+        use_low_pass_guidance=True, lp_filter_type="down_up",
+        lp_filter_in_latent=True, lp_resize_factor=0.4,
+        lp_strength_schedule_type="interval",
+        schedule_interval_start_time=0.0,
+        schedule_interval_end_time=0.4,  # exercises the 3-pass segment
+    )
+    base = wan_pipe(**kw)
+    wan_pipe.guidance_microbatch = 1
+    try:
+        micro = wan_pipe(**kw)
+    finally:
+        wan_pipe.guidance_microbatch = 0
+    np.testing.assert_allclose(np.asarray(base), np.asarray(micro), atol=2e-5, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # CLIP parity vs transformers
 # ---------------------------------------------------------------------------

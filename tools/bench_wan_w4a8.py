@@ -52,6 +52,11 @@ def main():
         vae_params=None,  # latent-mode ALG: the sampler never touches the VAE
         scheduler_cfg=UniPCConfig(flow_shift=5.0),
         dtype=jnp.bfloat16,
+        # sequential guidance passes: batch-3 ALG activations at S=32,760
+        # need ~11.5 GB of HLO temps on top of the ~9 GB W4A8 tree (measured
+        # OOM: 21.07 G > 15.75 G HBM); micro-batch 1 cuts temps ~3× and costs
+        # ~0 throughput at this sequence length (MXU saturated per pass)
+        guidance_microbatch=1,
     )
 
     f_lat, h_lat, w_lat = 21, 60, 104  # 81f @ 480x832
