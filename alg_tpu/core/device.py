@@ -110,9 +110,11 @@ def host_init_params(init_fn, seed: int = 0, scale: float = 0.02):
     ``jax.eval_shape(init_fn)`` provides the leaf shapes/dtypes; leaves are
     generated with numpy and ``device_put`` one at a time, so the device never
     holds RNG temporaries or stacking copies — resident peak == final weight
-    size. For large random-weight models (benchmarks) the on-device init path
-    exceeds the axon memory ceiling; real checkpoints take the same host→device
-    route through the safetensors loader.
+    size. Naive on-device init (whole leaves at once) exceeds the axon memory
+    ceiling — a stacked 42-layer ffn leaf's fp32 RNG temp is ~6 GB next to the
+    ~10 GB resident tree; :func:`device_init_params` is the bounded-memory
+    on-device alternative (no multi-GB tunnel streaming). Real checkpoints
+    take the host→device route through the safetensors loader.
     """
     import ml_dtypes
 
@@ -132,6 +134,64 @@ def host_init_params(init_fn, seed: int = 0, scale: float = 0.02):
         out.append(dev)
         pending_bytes += dev.size * dev.dtype.itemsize
         if pending_bytes > (1 << 30):  # drain every ~1 GiB of queued transfers
+            sync(dev)
+            pending_bytes = 0
+    sync(out[-1])
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def device_init_params(
+    init_fn, seed: int = 0, scale: float = 0.02, max_slice_bytes: int = 256 << 20
+):
+    """Random-init a parameter tree ON the device with bounded temp memory.
+
+    The benchmark alternative to :func:`host_init_params`: generating a 5B/14B
+    random tree host-side and streaming it through the axon tunnel costs
+    ~10 GB of transfers (~11 min of the driver's cold bench budget, measured
+    docs/PERF.md r4); generating on-device costs seconds. The memory hazard of
+    naive on-device init — a whole-leaf RNG temp (fp32 bits + transform) next
+    to the growing resident tree — is avoided by filling leaves larger than
+    ``max_slice_bytes`` slice-by-slice along axis 0 into a DONATED buffer, so
+    peak HBM == final tree + one slice + its RNG bits. Each leaf/slice is
+    generated directly in its final dtype (bf16 ``jax.random.normal`` — same
+    N(0, scale²) family as host init; bit-values differ, FLOP graph and
+    memory profile of the consuming model are identical).
+    """
+    import functools
+
+    shapes = jax.eval_shape(init_fn)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+    def gen(key, shape, dtype):
+        return jax.random.normal(key, shape, dtype=dtype) * jnp.asarray(scale, dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_row(buf, key, i):
+        row = jax.random.normal(key, buf.shape[1:], dtype=buf.dtype)
+        row = row * jnp.asarray(scale, buf.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(buf, row[None], i, axis=0)
+
+    key = jax.random.PRNGKey(seed)
+    out = []
+    pending_bytes = 0
+    for idx, leaf in enumerate(leaves):
+        nbytes = int(np.prod(leaf.shape, dtype=np.int64)) * jnp.dtype(leaf.dtype).itemsize
+        lkey = jax.random.fold_in(key, idx)
+        if leaf.ndim >= 2 and leaf.shape[0] > 1 and nbytes > max_slice_bytes:
+            buf = jnp.zeros(leaf.shape, leaf.dtype)
+            row_bytes = max(nbytes // leaf.shape[0], 1)
+            drain_every = max((1 << 30) // row_bytes, 1)
+            for i in range(leaf.shape[0]):
+                buf = fill_row(buf, jax.random.fold_in(lkey, i), i)
+                if (i + 1) % drain_every == 0:
+                    sync(buf)  # bound the axon queue's live buffers
+            dev = buf
+        else:
+            dev = gen(lkey, tuple(leaf.shape), jnp.dtype(leaf.dtype))
+        out.append(dev)
+        pending_bytes += nbytes
+        if pending_bytes > (1 << 30):
             sync(dev)
             pending_bytes = 0
     sync(out[-1])

@@ -11,9 +11,13 @@ a hand-rolled step (VERDICT r1 weak #5).
 Axon-backend measurement notes (see alg_tpu/core/device.py): the tunnel
 dispatches fully asynchronously and `block_until_ready` is a no-op, so timing
 brackets are forced with tiny device→host fetches and the standalone fetch
-latency is measured separately and subtracted. Weights are random-initialized
-host-side and streamed to the device (no network egress; identical FLOP graph
-to real weights — on-device random init would exceed the memory ceiling).
+latency is measured separately and subtracted. bf16 weights are
+random-initialized ON the device (core/device.device_init_params — bounded
+slice-by-slice fills; no network egress, identical FLOP graph to real
+weights), which replaces ~11 min of host init + 10.1 GB tunnel streaming with
+seconds; `--host-init` restores the old checkpoint-like host→device route.
+Quantized modes (--int8/--w4) still initialize host-side: quantization must
+run where the bf16 originals live, and bf16 + int8 trees together exceed HBM.
 
 Driver-budget protocol (VERDICT r3 #2b): the warm-up call runs with
 ``stop_after=10`` — it compiles both pass-count programs (hitting the
@@ -90,8 +94,12 @@ def main():
         from alg_tpu.ops.quant import host_init_quantized_params
 
         params = host_init_quantized_params(init_fn, mode="w4" if W4 else "w8")
-    else:
+    elif "--host-init" in sys.argv:
         params = host_init_params(init_fn)
+    else:
+        from alg_tpu.core.device import device_init_params
+
+        params = device_init_params(init_fn)
     pipe = CogVideoXPipeline(
         transformer_cfg=tcfg,
         transformer_params=params,
