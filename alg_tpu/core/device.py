@@ -140,6 +140,41 @@ def host_init_params(init_fn, seed: int = 0, scale: float = 0.02):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "dtype", "scale"))
+def _gen_normal(key, shape, dtype, scale):
+    return jax.random.normal(key, shape, dtype=dtype) * jnp.asarray(scale, dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("scale",))
+def _fill_row(buf, key, i, scale):
+    row = jax.random.normal(key, buf.shape[1:], dtype=buf.dtype)
+    row = row * jnp.asarray(scale, buf.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(buf, row[None], i, axis=0)
+
+
+def gen_leaf_on_device(leaf, key, scale: float = 0.02, max_slice_bytes: int = 256 << 20):
+    """Generate ONE N(0, scale²) array of ``leaf``'s shape/dtype on-device.
+
+    Leaves larger than ``max_slice_bytes`` are filled slice-by-slice along
+    axis 0 into a DONATED buffer, so the live temp is one slice + its RNG
+    bits rather than a whole-leaf fp32 working set (which, next to a ~10 GB
+    resident tree, exceeds the axon memory ceiling)."""
+    nbytes = int(np.prod(leaf.shape, dtype=np.int64)) * jnp.dtype(leaf.dtype).itemsize
+    if leaf.ndim >= 2 and leaf.shape[0] > 1 and nbytes > max_slice_bytes:
+        buf = jnp.zeros(leaf.shape, leaf.dtype)
+        row_bytes = max(nbytes // leaf.shape[0], 1)
+        drain_every = max((1 << 30) // row_bytes, 1)
+        for i in range(leaf.shape[0]):
+            buf = _fill_row(buf, jax.random.fold_in(key, i), i, scale)
+            if (i + 1) % drain_every == 0:
+                sync(buf)  # bound the axon queue's live buffers
+        return buf
+    return _gen_normal(key, tuple(leaf.shape), jnp.dtype(leaf.dtype), scale)
+
+
 def device_init_params(
     init_fn, seed: int = 0, scale: float = 0.02, max_slice_bytes: int = 256 << 20
 ):
@@ -148,49 +183,22 @@ def device_init_params(
     The benchmark alternative to :func:`host_init_params`: generating a 5B/14B
     random tree host-side and streaming it through the axon tunnel costs
     ~10 GB of transfers (~11 min of the driver's cold bench budget, measured
-    docs/PERF.md r4); generating on-device costs seconds. The memory hazard of
-    naive on-device init — a whole-leaf RNG temp (fp32 bits + transform) next
-    to the growing resident tree — is avoided by filling leaves larger than
-    ``max_slice_bytes`` slice-by-slice along axis 0 into a DONATED buffer, so
-    peak HBM == final tree + one slice + its RNG bits. Each leaf/slice is
-    generated directly in its final dtype (bf16 ``jax.random.normal`` — same
-    N(0, scale²) family as host init; bit-values differ, FLOP graph and
-    memory profile of the consuming model are identical).
+    docs/PERF.md r4); generating on-device costs seconds. Memory discipline is
+    :func:`gen_leaf_on_device`'s slice-wise donated fills — peak HBM == final
+    tree + one slice + its RNG bits. Each leaf/slice is generated directly in
+    its final dtype (bf16 ``jax.random.normal`` — same N(0, scale²) family as
+    host init; bit-values differ, FLOP graph and memory profile of the
+    consuming model are identical).
     """
-    import functools
-
     shapes = jax.eval_shape(init_fn)
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @functools.partial(jax.jit, static_argnames=("shape", "dtype"))
-    def gen(key, shape, dtype):
-        return jax.random.normal(key, shape, dtype=dtype) * jnp.asarray(scale, dtype)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill_row(buf, key, i):
-        row = jax.random.normal(key, buf.shape[1:], dtype=buf.dtype)
-        row = row * jnp.asarray(scale, buf.dtype)
-        return jax.lax.dynamic_update_slice_in_dim(buf, row[None], i, axis=0)
-
     key = jax.random.PRNGKey(seed)
     out = []
     pending_bytes = 0
     for idx, leaf in enumerate(leaves):
-        nbytes = int(np.prod(leaf.shape, dtype=np.int64)) * jnp.dtype(leaf.dtype).itemsize
-        lkey = jax.random.fold_in(key, idx)
-        if leaf.ndim >= 2 and leaf.shape[0] > 1 and nbytes > max_slice_bytes:
-            buf = jnp.zeros(leaf.shape, leaf.dtype)
-            row_bytes = max(nbytes // leaf.shape[0], 1)
-            drain_every = max((1 << 30) // row_bytes, 1)
-            for i in range(leaf.shape[0]):
-                buf = fill_row(buf, jax.random.fold_in(lkey, i), i)
-                if (i + 1) % drain_every == 0:
-                    sync(buf)  # bound the axon queue's live buffers
-            dev = buf
-        else:
-            dev = gen(lkey, tuple(leaf.shape), jnp.dtype(leaf.dtype))
+        dev = gen_leaf_on_device(leaf, jax.random.fold_in(key, idx), scale, max_slice_bytes)
         out.append(dev)
-        pending_bytes += nbytes
+        pending_bytes += int(np.prod(leaf.shape, dtype=np.int64)) * jnp.dtype(leaf.dtype).itemsize
         if pending_bytes > (1 << 30):
             sync(dev)
             pending_bytes = 0

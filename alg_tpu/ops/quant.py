@@ -20,6 +20,7 @@ matters).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import numpy as np
@@ -255,6 +256,153 @@ def quantize_pipeline(pipe, mode: str = "w8"):
     return dataclasses.replace(
         pipe, transformer_params=quantize_transformer_params(pipe.transformer_params, mode=mode)
     )
+
+
+def _quant_w8_traced(w: jnp.ndarray):
+    """Traced (on-device) form of :func:`quantize_kernel`'s math for one
+    [in, out] slice: per-output-channel symmetric int8 over the IN axis.
+    Same formula as the numpy reference (round-half-even, absmax/127)."""
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    s = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_w4_traced(w: jnp.ndarray, group: int = 128):
+    """Traced form of :func:`quantize_kernel_w4` for one [in, out] slice:
+    group-wise int4 (symmetric [-7, 7]), nibble-packed along IN, plus the
+    per-output-channel int8 requant scale."""
+    w = w.astype(jnp.float32)
+    kin, out = w.shape
+    g_cnt = kin // group
+    wg = w.reshape(g_cnt, group, out)
+    absmax = jnp.abs(wg).max(axis=1, keepdims=True)
+    s4 = jnp.maximum(absmax, 1e-12) / 7.0
+    q4 = jnp.clip(jnp.round(wg / s4), -7, 7).astype(jnp.int8).reshape(kin, out)
+    packed = (q4[0::2] & jnp.int8(0x0F)) | (q4[1::2] << 4)
+    s4 = s4.reshape(g_cnt, out)
+    s8 = jnp.maximum((7.0 * s4).max(axis=0, keepdims=True), 1e-12) / 127.0
+    return packed, s4, s8
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("scale",))
+def _fill_q8_row(bq, bs, key, i, scale):
+    w = jax.random.normal(key, bq.shape[1:], jnp.float32) * scale
+    w = w.astype(jnp.bfloat16)  # quantize the bf16-rounded values, like host init
+    q, s = _quant_w8_traced(w)
+    return (
+        jax.lax.dynamic_update_slice_in_dim(bq, q[None], i, axis=0),
+        jax.lax.dynamic_update_slice_in_dim(bs, s[None], i, axis=0),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("scale",))
+def _fill_q4_row(bp, b4, b8, key, i, scale):
+    kin = bp.shape[-2] * 2
+    w = jax.random.normal(key, (kin, bp.shape[-1]), jnp.float32) * scale
+    w = w.astype(jnp.bfloat16)
+    p, s4, s8 = _quant_w4_traced(w)
+    return (
+        jax.lax.dynamic_update_slice_in_dim(bp, p[None], i, axis=0),
+        jax.lax.dynamic_update_slice_in_dim(b4, s4[None], i, axis=0),
+        jax.lax.dynamic_update_slice_in_dim(b8, s8[None], i, axis=0),
+    )
+
+
+def device_init_quantized_params(
+    init_fn, seed: int = 0, scale: float = 0.02, modulation: bool = False, mode: str = "w8"
+):
+    """Random-init a transformer tree ON the device, quantizing the block
+    linears there — the quantized analog of ``core.device.device_init_params``.
+
+    The host path (:func:`host_init_quantized_params`) generates 14B-scale
+    fp32 normals on the host, quantizes them, and streams the result through
+    the axon tunnel (~15-20 min at tunnel bandwidth). Here each stacked block
+    kernel is produced one LAYER SLICE at a time inside a single fused
+    program — generate bf16 slice → quantize (same formulas as the numpy
+    reference, ``_quant_w8_traced``/``_quant_w4_traced``) → donated
+    ``dynamic_update_slice`` into the int8/int4 accumulator buffers — so the
+    device never holds a whole bf16 kernel, let alone the bf16 tree: peak
+    HBM == the final quantized tree + one bf16 layer slice + its RNG bits.
+    Output tree structure is IDENTICAL to :func:`host_init_quantized_params`
+    (asserted in tests/test_device_init.py); values are a different random
+    draw of the same N(0, scale²) family, which is what benchmarks and
+    ``--random_init`` training validation need.
+    """
+    from alg_tpu.core.device import gen_leaf_on_device, sync
+
+    if mode not in ("w8", "w4"):
+        raise ValueError(f"unknown quantization mode {mode!r}")
+
+    shapes = jax.eval_shape(init_fn)
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def nkey():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    def gen_plain(node):
+        if isinstance(node, dict):
+            return {k: gen_plain(v) for k, v in node.items()}
+        return gen_leaf_on_device(node, nkey(), scale)
+
+    def gen_quantized_kernel(k):
+        lead = k.shape[:-2]
+        kin, kout = k.shape[-2], k.shape[-1]
+        if len(lead) != 1:  # non-stacked kernels are small — whole-leaf is fine
+            w = gen_leaf_on_device(k, nkey(), scale)
+            if mode == "w4" and kin % 128 == 0:
+                p, s4, s8 = jax.jit(_quant_w4_traced)(w)
+                sync(p)
+                return {"kernel_q4": p, "w_scale4": s4, "w_scale": s8}
+            q, s = jax.jit(_quant_w8_traced)(w)
+            sync(q)
+            return {"kernel_q": q, "w_scale": s}
+        L = lead[0]
+        lk = nkey()
+        if mode == "w4" and kin % 128 == 0:
+            bp = jnp.zeros((L, kin // 2, kout), jnp.int8)
+            b4 = jnp.zeros((L, kin // 128, kout), jnp.float32)
+            b8 = jnp.zeros((L, 1, kout), jnp.float32)
+            for i in range(L):
+                bp, b4, b8 = _fill_q4_row(bp, b4, b8, jax.random.fold_in(lk, i), i, scale)
+                if (i + 1) % 8 == 0:
+                    sync(bp)
+            sync(bp)
+            return {"kernel_q4": bp, "w_scale4": b4, "w_scale": b8}
+        bq = jnp.zeros((L, kin, kout), jnp.int8)
+        bs = jnp.zeros((L, 1, kout), jnp.float32)
+        for i in range(L):
+            bq, bs = _fill_q8_row(bq, bs, jax.random.fold_in(lk, i), i, scale)
+            if (i + 1) % 8 == 0:
+                sync(bq)
+        sync(bq)
+        return {"kernel_q": bq, "w_scale": bs}
+
+    def walk(node, name=""):
+        # mirrors _quantize_tree's structure decisions exactly, but the
+        # "untouched" branches still need their (plain bf16) random init
+        if not isinstance(node, dict):
+            return gen_leaf_on_device(node, nkey(), scale)
+        if not modulation and ("norm" in name or name == "ada"):
+            return gen_plain(node)
+        if "kernel" in node and _is_big_linear(node):
+            out = gen_quantized_kernel(node["kernel"])
+            if "bias" in node:
+                out["bias"] = gen_leaf_on_device(node["bias"], nkey(), scale)
+            return out
+        return {k: walk(v, k) for k, v in node.items()}
+
+    out = dict(shapes)
+    for tkey in shapes:
+        if tkey in _BLOCK_KEYS:
+            out[tkey] = walk(shapes[tkey])
+        else:
+            out[tkey] = gen_plain(shapes[tkey])
+    sync(jax.tree_util.tree_leaves(out)[-1])
+    return out
 
 
 def host_init_quantized_params(init_fn, seed: int = 0, scale: float = 0.02, modulation: bool = False, mode: str = "w8"):

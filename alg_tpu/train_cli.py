@@ -140,21 +140,25 @@ def synth_examples(family: str, pipe, n: int, gen: dict, seed: int):
 def random_init_pipeline(family: str, cfg, quantize: str):
     """Full-size random-init pipeline (the ``bench.py`` approach): proves a
     training configuration on real hardware without network egress — the FLOP
-    graph and memory profile are identical to real weights. With ``--quantize``
-    the tree is quantized HOST-side before streaming (the device never holds
-    the bf16 originals; the only way 13-14B QLoRA fits one v5e chip)."""
+    graph and memory profile are identical to real weights. Weights generate
+    (and with ``--quantize``, quantize) ON the device with bounded temp
+    memory (``device_init_params``/``device_init_quantized_params``), so a
+    13-14B tree is ready in ~1-2 min instead of the ~15-20 min host-init +
+    tunnel-streaming route — and the device still never holds the bf16
+    originals of a quantized base (the only way 13-14B QLoRA fits one v5e
+    chip)."""
     import jax
     import jax.numpy as jnp
 
-    from alg_tpu.core.device import host_init_params
-    from alg_tpu.ops.quant import host_init_quantized_params
+    from alg_tpu.core.device import device_init_params
+    from alg_tpu.ops.quant import device_init_quantized_params
 
     dtype = cfg.model_dtype
 
     def mk(init_fn):
         if quantize != "none":
-            return host_init_quantized_params(init_fn, mode=quantize)
-        return host_init_params(init_fn)
+            return device_init_quantized_params(init_fn, mode=quantize)
+        return device_init_params(init_fn)
 
     if family == "cogvideox":
         from alg_tpu.models.cogvideox import (

@@ -40,7 +40,7 @@ def main():
         HunyuanVideoTransformerConfig,
         init_hunyuan_transformer,
     )
-    from alg_tpu.ops.quant import host_init_quantized_params
+    from alg_tpu.ops.quant import device_init_quantized_params
     from alg_tpu.pipelines import HunyuanVideoPipeline
     from alg_tpu.schedulers import FlowMatchEulerConfig, make_flow_match_euler_plan
 
@@ -49,7 +49,7 @@ def main():
     # modulation=True: Hunyuan's AdaLN projection stacks are 6.5 GB bf16 —
     # quantizing them (FLOPs negligible, error on par with bf16 rounding) is
     # what makes the 13B tree (~12 GB int8) + activations fit 16 GB HBM
-    params = host_init_quantized_params(
+    params = device_init_quantized_params(
         lambda: init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16),
         modulation=True,
     )

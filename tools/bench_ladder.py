@@ -53,7 +53,7 @@ def main():
         sys.exit(f"usage: bench_ladder.py {{{'|'.join(FAMILIES)}}}")
 
     from alg_tpu.alg.schedule import LPConfig, build_lp_plan
-    from alg_tpu.core.device import host_init_params
+    from alg_tpu.core.device import device_init_params
     from alg_tpu.models.cogvideox import (
         CogVideoXTransformerConfig,
         CogVideoXVAEConfig,
@@ -70,11 +70,11 @@ def main():
     t0 = time.perf_counter()
     print(f"streaming {family} weights...", file=sys.stderr, flush=True)
     if family == "cache":
-        params = host_init_params(init_fn)
+        params = device_init_params(init_fn)
     else:
-        from alg_tpu.ops.quant import host_init_quantized_params
+        from alg_tpu.ops.quant import device_init_quantized_params
 
-        params = host_init_quantized_params(init_fn, mode="w4" if family == "w4" else "w8")
+        params = device_init_quantized_params(init_fn, mode="w4" if family == "w4" else "w8")
     pipe = CogVideoXPipeline(
         transformer_cfg=tcfg,
         transformer_params=params,

@@ -35,13 +35,13 @@ STEPS = 50
 def main():
     from alg_tpu.alg.schedule import LPConfig, build_lp_plan
     from alg_tpu.models.wan import WanTransformerConfig, WanVAEConfig, init_wan_transformer
-    from alg_tpu.ops.quant import host_init_quantized_params
+    from alg_tpu.ops.quant import device_init_quantized_params
     from alg_tpu.pipelines import WanPipeline
     from alg_tpu.schedulers import UniPCConfig, make_unipc_plan
 
     tcfg = WanTransformerConfig()  # 14B: 40 layers, 40x128, ffn 13824
     print("quantizing + streaming W4A8 weights (14B tree -> ~9 GB)...", flush=True)
-    params = host_init_quantized_params(
+    params = device_init_quantized_params(
         lambda: init_wan_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16),
         mode="w4",
     )
