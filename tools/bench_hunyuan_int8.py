@@ -18,10 +18,18 @@ flow-match Euler steps). Prints one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# Keep every scan program under the axon worker watchdog (~50-98 s ceiling,
+# docs/PERF.md SCAN_CHUNK=16 finding): a 13B-class single-guidance pass at
+# 28k joint tokens is several seconds, so the default 8-step chunk risks a
+# >60 s program. One step per program is safe; chunk-boundary dispatch costs
+# ~25 ms/step (docs/PERF.md), negligible here.
+os.environ.setdefault("ALG_TPU_SCAN_CHUNK", "1")
 
 import numpy as np
 import jax
@@ -110,10 +118,11 @@ def main():
     np.asarray(z.ravel()[:1])
     t_fetch = time.perf_counter() - t0
 
-    # warm-up executes 10/50 steps but compiles both segment programs
-    # (3-pass [0,2) n=2, 2-pass [2,50) n=8 — bench.py protocol, VERDICT r3 #2b)
-    print("compiling + 10-step warmup...", flush=True)
-    out = sample(stop_after=10)
+    # warm-up executes 3/50 steps but compiles both segment programs
+    # (the 2 ALG-active steps from [0,2), one plain step from [2,50) — at
+    # scan_chunk=1 step 3 is the first plain program)
+    print("compiling + 3-step warmup...", flush=True)
+    out = sample(stop_after=3)
     sync(out)
     t0 = time.perf_counter()
     out = sample()
@@ -126,6 +135,7 @@ def main():
         "unit": "steps/s (129f@352x608 360p bucket, 50-step shipped ALG config, "
                 "int8 W8A8, distilled guidance single-pass, shipped sampler)",
         "sec_per_step": round(dt / STEPS, 3),
+        "scan_chunk": int(os.environ["ALG_TPU_SCAN_CHUNK"]),
     }), flush=True)
 
 

@@ -17,10 +17,20 @@ Measures the SHIPPED ``WanPipeline._sample``. Prints one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# One denoise pass at this scale measures 9.23 s on the chip (probe,
+# docs/ROUND4.md). The axon tunnel's worker watchdog kills any single XLA
+# program somewhere between ~50 s and ~98 s (docs/PERF.md SCAN_CHUNK=16
+# finding), so the default 8-step chunk (8 steps x 2 passes x 9.23 s =
+# 148 s/program) crashes the worker. One step per program (<= 27.7 s for
+# the 3-pass ALG steps) stays safely under; chunk-boundary dispatch costs
+# ~25 ms/step (docs/PERF.md), ~0.1 % here.
+os.environ.setdefault("ALG_TPU_SCAN_CHUNK", "1")
 
 import numpy as np
 import jax
@@ -102,11 +112,12 @@ def main():
     np.asarray(z.ravel()[:1])
     t_fetch = time.perf_counter() - t0
 
-    # warm-up executes 15/50 steps but compiles both segment programs
-    # (3-pass [0,10) n=5 ×2, 2-pass [10,50) n=8 — bench.py protocol,
-    # VERDICT r3 #2b)
-    print("compiling + 15-step warmup...", flush=True)
-    out = sample(stop_after=15)
+    # warm-up executes 11/50 steps but compiles both segment programs
+    # (one 3-pass step from [0,10), one 2-pass step from [10,50) —
+    # bench.py protocol, VERDICT r3 #2b; at scan_chunk=1 step 11 is the
+    # first 2-pass program)
+    print("compiling + 11-step warmup...", flush=True)
+    out = sample(stop_after=11)
     sync(out)
     t0 = time.perf_counter()
     out = sample()
@@ -119,6 +130,7 @@ def main():
         "unit": "steps/s (81f@480x832, 50-step shipped ALG CFG config, W4A8 "
                 "int4-weight/int8-MXU, shipped sampler)",
         "sec_per_step": round(dt / STEPS, 3),
+        "scan_chunk": int(os.environ["ALG_TPU_SCAN_CHUNK"]),
     }), flush=True)
 
 
