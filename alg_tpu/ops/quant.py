@@ -346,6 +346,10 @@ def device_init_quantized_params(
     def gen_plain(node):
         if isinstance(node, dict):
             return {k: gen_plain(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            # e.g. Hunyuan's token-refiner per-layer list
+            # (context_embedder/blocks) — kept bf16, but still needs init
+            return type(node)(gen_plain(v) for v in node)
         return gen_leaf_on_device(node, nkey(), scale)
 
     def gen_quantized_kernel(k):
@@ -384,6 +388,8 @@ def device_init_quantized_params(
     def walk(node, name=""):
         # mirrors _quantize_tree's structure decisions exactly, but the
         # "untouched" branches still need their (plain bf16) random init
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, name) for v in node)
         if not isinstance(node, dict):
             return gen_leaf_on_device(node, nkey(), scale)
         if not modulation and ("norm" in name or name == "ada"):

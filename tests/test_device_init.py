@@ -147,6 +147,32 @@ def test_device_quantized_init_matches_host_structure(mode, modulation):
     assert (s > 0).all()
 
 
+def test_device_quantized_init_handles_list_nodes():
+    # Hunyuan's token refiner is a per-layer LIST (context_embedder/blocks)
+    # outside the quantized block stacks — regression for the r4 crash where
+    # gen_plain treated the list as a leaf (tools/bench_hunyuan_int8.py).
+    from alg_tpu.models.hunyuan import (
+        HunyuanVideoTransformerConfig,
+        init_hunyuan_transformer,
+    )
+
+    cfg = HunyuanVideoTransformerConfig(
+        num_layers=1, num_single_layers=1, num_refiner_layers=1,
+        num_attention_heads=2, attention_head_dim=64,
+    )
+
+    def init():
+        return init_hunyuan_transformer(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+    host = host_init_quantized_params(init, modulation=True)
+    dev = device_init_quantized_params(init, modulation=True)
+    assert jax.tree_util.tree_structure(host) == jax.tree_util.tree_structure(dev)
+    refiner = dev["context_embedder"]["blocks"]
+    assert isinstance(refiner, list) and len(refiner) == 1
+    leaf = jax.tree_util.tree_leaves(refiner)[0]
+    assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
 def test_device_quantized_init_values_feed_quantized_linear():
     from alg_tpu.ops.quant import quantized_linear
 
