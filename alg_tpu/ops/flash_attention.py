@@ -367,6 +367,7 @@ def flash_attention(
     # 1024/2048 vs 87.4 ms aligned 1616/1616 — tools/bench_qk_prep.py).
     # Self-attention only, both blocks from the same divisor — mixed
     # aligned-Q/padded-K combinations miscompile (Mosaic crash, recorded).
+    aligned_fired = False
     if auto_blocks and sq_orig == sk_orig and sq_orig % block_q != 0:
         # stable path carries extra per-query scratch (running max/denom):
         # 1616-row q blocks exceed the 16M scoped-vmem limit by ~0.4M there,
@@ -386,6 +387,15 @@ def flash_attention(
             aligned_q = _aligned_block(sq_orig, lo=256, hi=aligned_q - 8)
         if aligned_q and aligned_k:
             block_q, block_k = aligned_q, aligned_k
+            aligned_fired = True
+    if auto_blocks and d >= 128 and not aligned_fired:
+        # default-blocks path at head_dim>=128: the [bq,bk] logit/p/mask
+        # buffers plus the d=128 q/k/v tiles overflow the 16M scoped-vmem
+        # limit at 1024x2048 (measured 19.8M — Hunyuan S=28,132 with kv_len
+        # masking, r4). 1024x1024 leaves >4M headroom. Aligned-divisor
+        # selections above (e.g. Wan 1560x1560 at S=32,760) are measured
+        # fits and keep their blocks.
+        block_q, block_k = min(block_q, 1024), min(block_k, 1024)
     block_q = min(block_q, max(128, 1 << (sq_orig - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (sk_orig - 1).bit_length()))
     sq = -(-sq_orig // block_q) * block_q
