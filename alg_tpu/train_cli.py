@@ -351,16 +351,25 @@ def main(argv=None):
         logger.info("QLoRA: base DiT frozen as %s; gradients flow through the "
                     "dequantized-weight custom VJP", args.quantize)
     if args.mode == "lora":
+        from alg_tpu.training.lora import has_quantized_kernels
+
         prefixes, peft_paths = FAMILY_PEFT[family]
         trainable = init_lora_params(
             jax.random.PRNGKey(args.seed), base, rank=args.rank, prefixes=prefixes
         )
         n_adapted = len(trainable)
-        train_loss = make_lora_loss(loss_fn, base, scale=args.lora_scale)
+        # the frozen base is a CALL argument of the jitted step, not a closure
+        # constant — captured constants serialize the whole 9-30 GB tree into
+        # the lowered program (see make_lora_loss)
+        train_loss = make_lora_loss(
+            loss_fn, None, scale=args.lora_scale, attach=has_quantized_kernels(base)
+        )
         step, opt = make_train_step(train_loss, tc)
         opt_state = opt.init(trainable)
-        jstep = jax.jit(step, donate_argnums=(0, 1))
-        eval_fn = jax.jit(train_loss)
+        _jstep = jax.jit(step, donate_argnums=(0, 1))
+        jstep = lambda t, o, b, k: _jstep(t, o, b, k, base)
+        _jeval_lora = jax.jit(train_loss)
+        eval_fn = lambda t, b, k: _jeval_lora(t, b, k, base)
         logger.info("LoRA: rank %d over %d modules", args.rank, n_adapted)
     else:
         trainable = base

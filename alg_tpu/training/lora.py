@@ -136,23 +136,42 @@ def has_quantized_kernels(params) -> bool:
 
 
 def make_lora_loss(
-    loss_fn: Callable, base_params, scale: float = 1.0, attach: bool = None
+    loss_fn: Callable, base_params=None, scale: float = 1.0, attach: bool = None
 ) -> Callable:
-    """``loss(loras, batch, key)`` — the full-params loss with the base
-    frozen in the closure; feed to :func:`alg_tpu.training.make_train_step`
-    with the LoRA tree as the trainable params.
+    """``loss(loras, batch, key)`` — the full-params loss over a frozen base,
+    with the LoRA tree as the trainable params; feed to
+    :func:`alg_tpu.training.make_train_step`.
+
+    With ``base_params`` given, the base is frozen in the closure (fine for
+    tests/small trees). With ``base_params=None`` the returned loss takes the
+    base as a trailing CALL argument — ``loss(loras, batch, key, base)`` —
+    which is how the train CLI runs it: a closure-captured 9-30 GB tree gets
+    serialized into the lowered program as constants (minutes of host time,
+    a second HBM copy — fatal at 13-14B scale), while a jit argument reuses
+    the live device buffers. ``make_train_step`` passes such trailing args
+    through: ``step(loras, opt_state, batch, key, base)``.
 
     ``attach`` selects merged (:func:`apply_lora`, False) vs attached
     (:func:`attach_lora`, True) application; the default (None) attaches
     exactly when the base is quantized — QLoRA — since merging into an
     int8/int4 base is impossible without materializing bf16 weights.
+    ``attach`` must be set explicitly when ``base_params`` is None.
     """
     if attach is None:
+        if base_params is None:
+            raise ValueError("attach must be given when the base is a call argument")
         attach = has_quantized_kernels(base_params)
     bind = attach_lora if attach else apply_lora
 
-    def lora_loss(loras, batch, key):
-        return loss_fn(bind(base_params, loras, scale), batch, key)
+    if base_params is None:
+
+        def lora_loss(loras, batch, key, base):
+            return loss_fn(bind(base, loras, scale), batch, key)
+
+    else:
+
+        def lora_loss(loras, batch, key):
+            return loss_fn(bind(base_params, loras, scale), batch, key)
 
     return lora_loss
 

@@ -70,19 +70,27 @@ def make_train_step(loss_fn: Callable, tc: TrainConfig):
     under ``lax.scan`` (each with its own noise/timestep draw), and the
     applied gradient is the mean over micro-batches — same expectation as
     the big batch at 1/accum the activation memory.
+
+    Extra positional args after ``key`` (e.g. a frozen QLoRA base tree) pass
+    through to the loss untouched: ``train_step(params, opt_state, batch,
+    key, *frozen)`` → ``loss_fn(params, batch, key, *frozen)``. Passing
+    multi-GB frozen trees as jit ARGUMENTS instead of closure constants is
+    load-bearing at 13-14B scale — captured constants are serialized into
+    the lowered program (minutes of host time + a second HBM copy), while
+    arguments reuse the live device buffers.
     """
     if tc.remat:
         inner = loss_fn
 
-        def loss_fn(params, batch, key):  # noqa: F811 — deliberate rebind
+        def loss_fn(params, batch, key, *frozen):  # noqa: F811 — deliberate rebind
             with remat_blocks():
-                return inner(params, batch, key)
+                return inner(params, batch, key, *frozen)
 
     opt = make_optimizer(tc)
 
-    def value_and_grads(params, batch, key):
+    def value_and_grads(params, batch, key, *frozen):
         if tc.accum_steps == 1:
-            return jax.value_and_grad(loss_fn)(params, batch, key)
+            return jax.value_and_grad(loss_fn)(params, batch, key, *frozen)
 
         def split_micro(x):
             b = x.shape[0]
@@ -98,7 +106,7 @@ def make_train_step(loss_fn: Callable, tc: TrainConfig):
         def body(carry, xs):
             loss_acc, g_acc = carry
             mb, k = xs
-            loss, grads = jax.value_and_grad(loss_fn)(params, mb, k)
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb, k, *frozen)
             return (loss_acc + loss, jax.tree.map(jnp.add, g_acc, grads)), ()
 
         zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype), params)
@@ -106,8 +114,8 @@ def make_train_step(loss_fn: Callable, tc: TrainConfig):
         inv = 1.0 / tc.accum_steps
         return loss * inv, jax.tree.map(lambda g: g * inv, grads)
 
-    def train_step(params, opt_state, batch, key):
-        loss, grads = value_and_grads(params, batch, key)
+    def train_step(params, opt_state, batch, key, *frozen):
+        loss, grads = value_and_grads(params, batch, key, *frozen)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}

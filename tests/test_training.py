@@ -456,3 +456,43 @@ video:
     assert out.exists()
     state = dict(np.load(out))
     assert state and any(".lora_A." in k or "lora_A" in k for k in state), list(state)[:5]
+
+
+def test_lora_loss_base_as_call_argument_matches_closure():
+    """The train CLI passes the frozen base as a jitted-step ARGUMENT
+    (make_lora_loss(loss_fn, None, attach=...)): a closure-captured base is
+    serialized into the lowered program as constants — minutes of host time
+    and a second HBM copy at 13-14B scale. Both modes must be the same
+    function, through make_train_step's trailing-arg pass-through."""
+    cfg = _tiny_cog_cfg()
+    base = init_cogvideox_transformer(jax.random.PRNGKey(0), cfg)
+    loras = init_lora_params(jax.random.PRNGKey(1), base, rank=4)
+    loras = jax.tree.map(lambda x: x + 0.02, loras)
+    loss_fn = make_cogvideox_vpred_loss(cfg)
+    batch = _cog_batch()
+    k = jax.random.PRNGKey(3)
+
+    closure = make_lora_loss(loss_fn, base)
+    callarg = make_lora_loss(loss_fn, None, attach=False)
+    assert np.allclose(float(closure(loras, batch, k)), float(callarg(loras, batch, k, base)), rtol=1e-6)
+    with pytest.raises(ValueError):
+        make_lora_loss(loss_fn, None)  # attach is required without a base
+
+    tc = TrainConfig(learning_rate=1e-2, weight_decay=0.0)
+    step_c, opt = make_train_step(closure, tc)
+    step_a, _ = make_train_step(callarg, tc)
+    jc, ja = jax.jit(step_c), jax.jit(step_a)
+    lc, oc = jc(loras, opt.init(loras), batch, k)[:2]
+    la, oa = ja(loras, opt.init(loras), batch, k, base)[:2]
+    for x, y in zip(jax.tree.leaves(lc), jax.tree.leaves(la)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+    # accumulation threads the trailing base through the scan body too
+    tc2 = TrainConfig(learning_rate=1e-2, weight_decay=0.0, accum_steps=2)
+    step_c2, opt2 = make_train_step(closure, tc2)
+    step_a2, _ = make_train_step(callarg, tc2)
+    b2 = {kk: np.concatenate([v, v]) for kk, v in batch.items()}
+    lc2 = jax.jit(step_c2)(loras, opt2.init(loras), b2, k)[0]
+    la2 = jax.jit(step_a2)(loras, opt2.init(loras), b2, k, base)[0]
+    for x, y in zip(jax.tree.leaves(lc2), jax.tree.leaves(la2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
