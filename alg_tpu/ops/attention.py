@@ -107,27 +107,38 @@ def _xla_attention_residuals(q, k, v, scale, kv_len=None):
 
 
 _IMPL_OVERRIDE: Optional[str] = None
-_INT8_QK = False
+_INT8_QK: Optional[str] = None  # None | "qk" | "full"
 
 
-def set_attention_int8(enabled: bool) -> None:
-    """Route qualifying DiT self-attention through the int8-QK^T kernel
-    (``ops/flash_attention_int8.py``) — the logits matmul runs on the 2×-rate
-    int8 MXU with per-block scales and softmax-exact K mean-centering.
+def set_attention_int8(enabled) -> None:
+    """Route qualifying DiT self-attention through the int8 flash kernel
+    (``ops/flash_attention_int8.py``) — ``True``/``"qk"`` runs the logits
+    matmul on the 2×-rate int8 MXU (per-block scales, softmax-exact K
+    mean-centering); ``"full"`` additionally quantizes the P·V pass
+    (per-row P scales, per-channel V scales) so BOTH attention matmuls run
+    at the int8 rate.
 
     Opt-in: int8 logits change numerics (~1e-2 relative drift on outputs,
-    bounded by tests/test_attention_int8.py) and must be validated per
-    checkpoint, like the W8A8 linear mode it composes with. Only dense,
-    unbiased, non-causal self-attention with head_dim % 128 != 0 that also
-    requested the bounded-logit fast path (``stable=False`` — the DiT block
-    calls) qualifies on a single-device TPU path; everything else (text/vision
+    "full" adds ~the P rounding error; both bounded by
+    tests/test_attention_int8.py) and must be validated per checkpoint, like
+    the W8A8 linear mode it composes with. Only dense, unbiased, non-causal
+    self-attention with head_dim % 128 != 0 that also requested the
+    bounded-logit fast path (``stable=False`` — the DiT block calls)
+    qualifies on a single-device TPU path; everything else (text/vision
     encoders, which pass ``stable=True``, and kv_len/bias/causal/mesh-sharded
     calls) keeps the bf16 kernel."""
     global _INT8_QK
-    _INT8_QK = bool(enabled)
+    if enabled in (False, None):
+        _INT8_QK = None
+    elif enabled in (True, "qk"):
+        _INT8_QK = "qk"
+    elif enabled == "full":
+        _INT8_QK = "full"
+    else:
+        raise ValueError(f"set_attention_int8: {enabled!r} (want bool, 'qk' or 'full')")
 
 
-def get_attention_int8() -> bool:
+def get_attention_int8() -> Optional[str]:
     return _INT8_QK
 
 
@@ -481,7 +492,7 @@ def attention(
     ):
         from alg_tpu.ops.flash_attention_int8 import flash_attention_int8
 
-        return flash_attention_int8(q, k, v, scale=scale)
+        return flash_attention_int8(q, k, v, scale=scale, pv_int8=_INT8_QK == "full")
     if impl == "pallas":
         # every Pallas call goes through the custom_vjp wrapper: the primal is
         # the identical fused kernel (zero inference cost), and jax.grad gets

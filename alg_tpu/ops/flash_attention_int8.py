@@ -73,23 +73,48 @@ def quantize_qk_int8(q: jnp.ndarray, k: jnp.ndarray, scale: float, block_q: int,
     return q_int, k_int, (sq_blk * (scale * LOG2E)).astype(jnp.float32), sk_blk.astype(jnp.float32)
 
 
+def quantize_v_int8(v: jnp.ndarray, d_aug: int):
+    """Per-(batch·head, channel) int8 quantization of V ``[BH, S, D]`` for the
+    int8 P·V pass, augmented to ``d_aug`` lanes: lane ``D`` is the fused
+    row-sum ones column — stored as the constant 127 with scale 1/127 so the
+    dequantized denominator uses exactly the same quantized-P values as the
+    numerator (self-consistent softmax normalization); lanes > D are zero.
+
+    Returns ``(v_int [BH, S, d_aug] int8, sv [BH, d_aug] f32)``. The valid-row
+    masking of the ones column happens in-kernel (padding rows must not count).
+    """
+    bh, s, d = v.shape
+    vf = v.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(vf), axis=1)  # [BH, D]
+    sv = jnp.maximum(amax, 1e-6) / 127.0
+    vi = jnp.clip(jnp.round(vf / sv[:, None, :]), -127, 127).astype(jnp.int8)
+    vi = jnp.pad(vi, [(0, 0), (0, 0), (0, d_aug - d)])
+    vi = vi.at[:, :, d].set(127)
+    sv = jnp.pad(sv, [(0, 0), (0, d_aug - d)])
+    sv = sv.at[:, d].set(1.0 / 127.0)
+    return vi, sv
+
+
 def _kernel(
     sq_ref,  # [BH·nq] f32 scalar-prefetch: folded q-block scales
     sk_ref,  # [BH·nk] f32 scalar-prefetch: k-block scales
     q_ref,  # [1, bq, d] int8
     k_ref,  # [1, bk, d] int8
-    v_ref,  # [1, bk, d] bf16/f32
-    o_ref,  # [1, bq, d]
-    acc_scr,  # [bq, d_aug] f32
-    *,
+    v_ref,  # [1, bk, d] bf16/f32  |  [1, bk, d_aug] int8 when pv_int8
+    *rest,  # (sv_ref [1, d_aug] f32 when pv_int8,) o_ref, acc_scr
     d: int,
     d_aug: int,
     block_k: int,
     sk_orig: int,
     nq: int,
     nk: int,
+    pv_int8: bool = False,
     no_exp2: bool = False,
 ):
+    if pv_int8:
+        sv_ref, o_ref, acc_scr = rest
+    else:
+        o_ref, acc_scr = rest
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -110,19 +135,36 @@ def _kernel(
     else:
         p = jnp.exp2(s32.astype(jnp.float32) * sc)
 
-    # fused row-sum: ones column at lane d on valid key rows only — padded
-    # keys (k_int = 0 ⇒ p = 1) contribute nothing to numerator (v rows zero)
-    # or denominator (ones column zero)
     k_start = ki * block_k
-    vrow = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, d_aug - d), 0)
-    vlane = jax.lax.broadcasted_iota(jnp.int32, (block_k, d_aug - d), 1)
-    extra = ((vlane == 0) & (vrow < sk_orig)).astype(v_ref.dtype)
-    v_aug = jnp.concatenate([v_ref[0], extra], axis=1)  # [bk, d_aug]
+    if pv_int8:
+        # int8 P·V: per-(row, tile) scales on P (p > 0, so amax = rowmax);
+        # V arrives pre-quantized per channel with the ones column at lane d
+        # (quantize_v_int8). Both MXU legs now run at the 2x int8 rate; the
+        # per-tile dequant fma is VPU work overlapped under the MXU.
+        # Padded key columns (k_int = 0 ⇒ p = 1) are zeroed BEFORE the row
+        # max: a spurious p = 1 would otherwise set the scale and crush the
+        # real (possibly ≪ 1) probabilities to zero codes.
+        kcol = k_start + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        p = jnp.where(kcol < sk_orig, p, 0.0)
+        srow = jnp.maximum(jnp.max(p, axis=1, keepdims=True), 1e-37)  # [bq, 1]
+        pi = jnp.round(p * (127.0 / srow)).astype(jnp.int8)
+        acc32 = jax.lax.dot_general(
+            pi, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        acc_scr[:] += acc32.astype(jnp.float32) * (srow * (1.0 / 127.0)) * sv_ref[0]
+    else:
+        # fused row-sum: ones column at lane d on valid key rows only — padded
+        # keys (k_int = 0 ⇒ p = 1) contribute nothing to numerator (v rows
+        # zero) or denominator (ones column zero)
+        vrow = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_k, d_aug - d), 0)
+        vlane = jax.lax.broadcasted_iota(jnp.int32, (block_k, d_aug - d), 1)
+        extra = ((vlane == 0) & (vrow < sk_orig)).astype(v_ref.dtype)
+        v_aug = jnp.concatenate([v_ref[0], extra], axis=1)  # [bk, d_aug]
 
-    acc_scr[:] += jax.lax.dot_general(
-        p.astype(v_aug.dtype), v_aug, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        acc_scr[:] += jax.lax.dot_general(
+            p.astype(v_aug.dtype), v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -151,7 +193,8 @@ def _aligned_or_pad(s: int, default_q: int, default_k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "no_exp2")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "pv_int8", "interpret", "no_exp2"),
 )
 def flash_attention_int8(
     q: jnp.ndarray,  # [B, H, S, D] bf16/f32 (post norm+rope)
@@ -160,10 +203,20 @@ def flash_attention_int8(
     scale: float,
     block_q: int = 512,
     block_k: int = 1024,
+    pv_int8: bool = False,
     interpret: bool = False,
     no_exp2: bool = False,  # perf control only — wrong numerics
 ) -> jnp.ndarray:
-    """Dense self-attention with int8 QK^T (see module docstring)."""
+    """Dense self-attention with int8 QK^T (see module docstring).
+
+    ``pv_int8=True`` additionally runs the P·V pass on the int8 MXU: P
+    quantizes per (query row, tile) — positive with rowmax = amax, so the
+    scale is exact — and V per (batch·head, channel) via
+    :func:`quantize_v_int8`; the fp32 accumulator dequantizes per tile.
+    Both attention matmuls then run at the 2x int8 rate. Extra drift vs
+    QK^T-only is ~the P rounding error (0.4 % of each row's max), bounded
+    in tests/test_attention_int8.py.
+    """
     b, h, s, d = q.shape
     if d % 128 == 0:
         raise ValueError("int8 kernel targets head_dim % 128 != 0 (fused row-sum)")
@@ -181,16 +234,30 @@ def flash_attention_int8(
 
     kernel = functools.partial(
         _kernel, d=d, d_aug=d_aug, block_k=block_k, sk_orig=s, nq=nq, nk=nk,
-        no_exp2=no_exp2,
+        pv_int8=pv_int8, no_exp2=no_exp2,
     )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, *_: (bh, ki, 0), memory_space=pltpu.VMEM),
+    ]
+    if pv_int8:
+        v_int, sv = quantize_v_int8(vp, d_aug)
+        inputs = (sq_blk.reshape(-1), sk_blk.reshape(-1), q_int, k_int, v_int, sv)
+        in_specs += [
+            pl.BlockSpec((1, block_k, d_aug), lambda bh, qi, ki, *_: (bh, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_aug), lambda bh, qi, ki, *_: (bh, 0), memory_space=pltpu.VMEM),
+        ]
+        v_bytes = v_int.size + sv.size * 4
+    else:
+        inputs = (sq_blk.reshape(-1), sk_blk.reshape(-1), q_int, k_int, vp)
+        in_specs += [
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, *_: (bh, ki, 0), memory_space=pltpu.VMEM),
+        ]
+        v_bytes = vp.size * vp.dtype.itemsize
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b * h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, *_: (bh, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki, *_: (bh, ki, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki, *_: (bh, qi, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((block_q, d_aug), jnp.float32)],
     )
@@ -203,9 +270,9 @@ def flash_attention_int8(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sp * sp * d,
-            bytes_accessed=(q_int.size + k_int.size) + vp.size * vp.dtype.itemsize,
+            bytes_accessed=(q_int.size + k_int.size) + v_bytes,
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(sq_blk.reshape(-1), sk_blk.reshape(-1), q_int, k_int, vp)
+    )(*inputs)
     return out.reshape(b, h, sp, d)[:, :, :s]

@@ -51,8 +51,10 @@ STEPS = 50
 # changes numerics and must be validated per checkpoint (docs/PERF.md).
 INT8 = "--int8" in sys.argv
 # opt-in int8-QK^T attention (ops/flash_attention_int8.py); composes with
-# --int8 for the full int8 serving mode
-INT8_ATTN = "--int8-attn" in sys.argv
+# --int8 for the full int8 serving mode. --int8-attn-full additionally runs
+# the P·V pass on the int8 MXU (both attention matmuls at the 2x rate)
+INT8_ATTN_FULL = "--int8-attn-full" in sys.argv
+INT8_ATTN = "--int8-attn" in sys.argv or INT8_ATTN_FULL
 # opt-in W4A8: int4 weight storage (group-128 scales), int8 MXU compute —
 # the memory-bound serving mode (ops/quant.py quantize_kernel_w4)
 W4 = "--w4" in sys.argv
@@ -111,7 +113,7 @@ def main():
     if INT8_ATTN:
         from alg_tpu.ops.attention import set_attention_int8
 
-        set_attention_int8(True)
+        set_attention_int8("full" if INT8_ATTN_FULL else "qk")
 
     # shipped configs/cogvideox_alg.yaml geometry and plans
     f, h, w = 13, 60, 90
@@ -186,6 +188,9 @@ def main():
               (True, True): "_int8full"}[(INT8, INT8_ATTN)]
     mode = {"": "bf16", "_int8": "int8 W8A8", "_int8attn": "bf16 + int8 QK^T attn",
             "_int8full": "int8 W8A8 + int8 QK^T attn"}[suffix]
+    if INT8_ATTN_FULL:
+        suffix += "_pv"
+        mode = mode.replace("int8 QK^T attn", "int8 QK^T+PV attn")
     if W4:
         suffix = "_w4a8" + ("_int8attn" if INT8_ATTN else "")
         mode = "W4A8 int4-weight/int8-MXU" + (" + int8 QK^T attn" if INT8_ATTN else "")

@@ -111,3 +111,75 @@ def test_rejects_unsupported_shapes():
     q2, k2, v2 = _dit_like_qkv(rng, 1, 1, 128, 64)
     with pytest.raises(ValueError, match="self-attention"):
         flash_attention_int8(q2, k2[:, :, :64], v2[:, :, :64], 64**-0.5, interpret=True)
+
+
+def _quantized_reference_pv(q, k, v, scale, block_q, block_k):
+    """Intended math of the pv_int8=True kernel in plain JAX: the QK^T
+    quantizer above + per-(row, k-block) P scales and per-channel V scales,
+    with the denominator built from the SAME quantized P (ones column)."""
+    from alg_tpu.ops.flash_attention_int8 import quantize_v_int8
+
+    b, h, s, d = q.shape
+    q_int, k_int, sq_blk, sk_blk = quantize_qk_int8(q, k, scale, block_q, block_k)
+    qi = q_int.reshape(b, h, s, d).astype(jnp.int32)
+    ki = k_int.reshape(b, h, s, d).astype(jnp.int32)
+    logits_int = jnp.einsum("bhqd,bhkd->bhqk", qi, ki)
+    sq = jnp.repeat(sq_blk.reshape(b, h, -1), block_q, axis=2)
+    sk = jnp.repeat(sk_blk.reshape(b, h, -1), block_k, axis=2)
+    p = jnp.exp2(logits_int.astype(jnp.float32) * sq[..., :, None] * sk[..., None, :])
+
+    d_aug = -(-(d + 1) // 128) * 128
+    v_int, sv = quantize_v_int8(v.reshape(b * h, s, d), d_aug)
+    v_int = v_int.reshape(b, h, s, d_aug).astype(jnp.int32)
+    sv = sv.reshape(b, h, d_aug)
+
+    nk = s // block_k
+    pt = p.reshape(b, h, s, nk, block_k)
+    srow = jnp.max(pt, axis=-1, keepdims=True)  # per (row, k-tile)
+    pi = jnp.round(pt * (127.0 / srow))
+    acc32 = jnp.einsum("bhqnk,bhnkD->bhqnD", pi,
+                       v_int.reshape(b, h, nk, block_k, d_aug).astype(jnp.float32))
+    acc = jnp.sum(acc32 * (srow * (1.0 / 127.0)), axis=3) * sv[:, :, None, :]
+    return acc[..., :d] / acc[..., d:d + 1]
+
+
+@pytest.mark.parametrize("s,bq,bk", [(256, 128, 128), (384, 128, 384)])
+def test_pv_kernel_matches_quantized_reference(s, bq, bk):
+    rng = np.random.RandomState(5)
+    q, k, v = _dit_like_qkv(rng, 1, 2, s, 64)
+    scale = 64**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=bq, block_k=bk,
+                               pv_int8=True, interpret=True)
+    ref = _quantized_reference_pv(q, k, v, scale, bq, bk)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    # fp32 op-order differences can flip a round-half tie on isolated P codes
+    # (one code ±1 ⇒ ~1e-3 on that output element); everything else is exact
+    assert err.mean() < 1e-5, err.mean()
+    assert err.max() < 2e-3, err.max()
+
+
+def test_pv_drift_vs_exact_attention_bounded():
+    rng = np.random.RandomState(6)
+    q, k, v = _dit_like_qkv(rng, 2, 4, 512, 64)
+    scale = 64**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=256, block_k=256,
+                               pv_int8=True, interpret=True)
+    exact = _xla_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out) - np.asarray(exact))
+    ref_rms = float(np.sqrt((np.asarray(exact) ** 2).mean()))
+    # measured on this distribution: the P/V rounding adds ~30-50% on top of
+    # the QK^T-only drift (mean/rms ≈ 1.3e-2); same regression-guard margins
+    assert err.mean() / ref_rms < 3e-2, (err.mean(), ref_rms)
+    assert err.max() / ref_rms < 2e-1, (err.max(), ref_rms)
+
+
+def test_pv_kernel_pads_ragged_sequence():
+    rng = np.random.RandomState(7)
+    s = 200
+    q, k, v = _dit_like_qkv(rng, 1, 1, s, 64)
+    scale = 64**-0.5
+    out = flash_attention_int8(q, k, v, scale, pv_int8=True, interpret=True)
+    assert out.shape == (1, 1, s, 64)
+    exact = _xla_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out) - np.asarray(exact))
+    assert err.mean() < 8e-3 and err.max() < 8e-2

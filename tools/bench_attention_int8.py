@@ -55,25 +55,31 @@ def main():
 
     for bq, bk, extra in ((None, None, {}), (808, 808, {}),
                           (None, None, {"no_exp2": True}),
-                          (1616, 1616, {})):
+                          (1616, 1616, {}),
+                          (None, None, {"pv_int8": True}),
+                          (808, 808, {"pv_int8": True}),
+                          (1616, 1616, {"pv_int8": True})):
         kw = dict(extra)
         if bq is not None:
             kw.update(block_q=bq, block_k=bk)
         try:
             dt = bench(lambda: flash_attention_int8(q, k, v, scale=d**-0.5, **kw), sl)
-            print(f"int8 qk {bq or 'auto'}/{bk or 'auto'} {extra}: {dt*1e3:.1f} ms, "
+            print(f"int8 {'qk+pv' if extra.get('pv_int8') else 'qk'} "
+                  f"{bq or 'auto'}/{bk or 'auto'} {extra}: {dt*1e3:.1f} ms, "
                   f"{flops/dt/1e12:.1f} TFLOP/s-equiv", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"int8 qk {bq}/{bk} {extra}: FAIL {type(e).__name__}: {e}", flush=True)
+            print(f"int8 {bq}/{bk} {extra}: FAIL {type(e).__name__}: {e}", flush=True)
 
     # numeric sanity at full scale vs the bf16 kernel
     a = flash_attention(q, k, v, scale=d**-0.5, stable=False)
-    bq8 = flash_attention_int8(q, k, v, scale=d**-0.5)
     da = np.asarray(a[0, :2, :256].astype(jnp.float32))
-    db = np.asarray(bq8[0, :2, :256].astype(jnp.float32))
     rms = float(np.sqrt((da**2).mean()))
-    err = np.abs(da - db)
-    print(f"drift vs bf16: mean/rms {err.mean()/rms:.2e}, max/rms {err.max()/rms:.2e}")
+    for label, kw in (("qk", {}), ("qk+pv", {"pv_int8": True})):
+        bq8 = flash_attention_int8(q, k, v, scale=d**-0.5, **kw)
+        db = np.asarray(bq8[0, :2, :256].astype(jnp.float32))
+        err = np.abs(da - db)
+        print(f"drift vs bf16 ({label}): mean/rms {err.mean()/rms:.2e}, "
+              f"max/rms {err.max()/rms:.2e}")
 
 
 if __name__ == "__main__":
