@@ -97,6 +97,10 @@ def run(args):
     logger.info("Using device: %s", jax.devices()[0])
 
     family = cfg.family
+    if getattr(args, "int8_attn", None):
+        from alg_tpu.ops.attention import set_attention_int8
+
+        set_attention_int8(args.int8_attn)
     pipe = load_pipeline(
         cfg, args.model_cache_dir, quantize=args.quantize,
         lora=getattr(args, "lora", None), lora_scale=getattr(args, "lora_scale", 1.0),
@@ -159,6 +163,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="quantize DiT blocks at load (w8 = W8A8 int8, w4 = W4A8 int4 "
         "storage); host-side before streaming, so peak HBM is the quantized "
         "tree (beyond-parity; validate numerics per checkpoint)",
+    )
+    parser.add_argument(
+        "--int8_attn",
+        type=str,
+        choices=("qk", "full"),
+        default=None,
+        help="run DiT self-attention on the int8 MXU (qk = int8 QK^T logits, "
+        "full = both attention matmuls int8); composes with --quantize "
+        "(beyond-parity; validate numerics per checkpoint)",
     )
     parser.add_argument(
         "--checkpoint_path",

@@ -122,11 +122,13 @@ def set_attention_int8(enabled) -> None:
     "full" adds ~the P rounding error; both bounded by
     tests/test_attention_int8.py) and must be validated per checkpoint, like
     the W8A8 linear mode it composes with. Only dense, unbiased, non-causal
-    self-attention with head_dim % 128 != 0 that also requested the
-    bounded-logit fast path (``stable=False`` — the DiT block calls)
-    qualifies on a single-device TPU path; everything else (text/vision
-    encoders, which pass ``stable=True``, and kv_len/bias/causal/mesh-sharded
-    calls) keeps the bf16 kernel."""
+    self-attention that also requested the bounded-logit fast path
+    (``stable=False`` — the DiT block calls) qualifies on a single-device
+    TPU path; any head_dim works (D=64 fused row-sum / D=128 separate
+    denominator) and ``kv_len`` masking is supported (Hunyuan's joint
+    sequence). Everything else (text/vision encoders, which pass
+    ``stable=True``, and bias/causal/mesh-sharded calls) keeps the bf16
+    kernel."""
     global _INT8_QK
     if enabled in (False, None):
         _INT8_QK = None
@@ -484,15 +486,15 @@ def attention(
         # text/vision encoders keep stable=True and thus the bf16 kernel —
         # int8 QK^T must never silently touch conditioning embeddings
         and not causal
-        and kv_len is None
         and bias is None
         and prolog is None
         and q.shape[2] == k.shape[2]
-        and q.shape[-1] % 128 != 0
     ):
         from alg_tpu.ops.flash_attention_int8 import flash_attention_int8
 
-        return flash_attention_int8(q, k, v, scale=scale, pv_int8=_INT8_QK == "full")
+        return flash_attention_int8(
+            q, k, v, scale=scale, pv_int8=_INT8_QK == "full", kv_len=kv_len
+        )
     if impl == "pallas":
         # every Pallas call goes through the custom_vjp wrapper: the primal is
         # the identical fused kernel (zero inference cost), and jax.grad gets

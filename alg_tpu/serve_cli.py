@@ -89,6 +89,10 @@ def serve(args):
     enable_compilation_cache()
     cfg = load_run_config(args.config)
     logger.info("Devices: %d × %s", len(jax.devices()), jax.devices()[0].platform)
+    if args.int8_attn:
+        from alg_tpu.ops.attention import set_attention_int8
+
+        set_attention_int8(args.int8_attn)
 
     if args.listen is not None:
         if args.multihost:
@@ -220,6 +224,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--quantize", type=str, choices=("w8", "w4"), default=None,
         help="quantize DiT blocks at load, host-side before streaming (W8A8/W4A8)",
+    )
+    parser.add_argument(
+        "--int8_attn", type=str, choices=("qk", "full"), default=None,
+        help="run DiT self-attention on the int8 MXU (qk = int8 QK^T logits, "
+        "full = both attention matmuls int8); composes with --quantize",
     )
     parser.add_argument("--lora", type=str, default=None,
                         help="peft-layout adapter .npz merged into the DiT before serving")

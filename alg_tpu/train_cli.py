@@ -155,9 +155,9 @@ def random_init_pipeline(family: str, cfg, quantize: str):
 
     dtype = cfg.model_dtype
 
-    def mk(init_fn):
+    def mk(init_fn, modulation=False):
         if quantize != "none":
-            return device_init_quantized_params(init_fn, mode=quantize)
+            return device_init_quantized_params(init_fn, mode=quantize, modulation=modulation)
         return device_init_params(init_fn)
 
     if family == "cogvideox":
@@ -197,7 +197,15 @@ def random_init_pipeline(family: str, cfg, quantize: str):
         from alg_tpu.schedulers import FlowMatchEulerConfig
 
         tcfg = HunyuanVideoTransformerConfig()
-        params = mk(lambda: init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg, dtype=dtype))
+        # modulation=True matches the Hunyuan serving config (docs/PERF.md):
+        # the 6.5 GiB bf16 AdaLN stacks must quantize for the 13B base +
+        # adapters + optimizer to fit one chip — and the stacked quantized
+        # init path is also ~10x faster over the tunnel than leaf-by-leaf
+        # bf16 generation of those stacks
+        params = mk(
+            lambda: init_hunyuan_transformer(jax.random.PRNGKey(0), tcfg, dtype=dtype),
+            modulation=quantize != "none",
+        )
         return HunyuanVideoPipeline(
             transformer_cfg=tcfg, transformer_params=params,
             vae_cfg=HunyuanVAEConfig(), vae_params=None,
@@ -294,7 +302,7 @@ def main(argv=None):
     if args.random_init:
         pipe = random_init_pipeline(family, cfg, args.quantize)
         logger.info("Random-init %s pipeline (full-size%s) for fine-tuning (%s mode)",
-                    family, f", host-quantized {args.quantize}" if args.quantize != "none" else "",
+                    family, f", device-quantized {args.quantize}" if args.quantize != "none" else "",
                     args.mode)
     else:
         pipe = load_pipeline(cfg, args.model_cache_dir)
@@ -371,6 +379,15 @@ def main(argv=None):
         _jeval_lora = jax.jit(train_loss)
         eval_fn = lambda t, b, k: _jeval_lora(t, b, k, base)
         logger.info("LoRA: rank %d over %d modules", args.rank, n_adapted)
+        # HBM accounting for the training record (the axon tunnel exposes no
+        # device memory_stats): resident device bytes of the three big trees
+        gb = lambda t: sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(t) if hasattr(x, "dtype")
+        ) / 2**30
+        logger.info(
+            "Device trees: frozen base %.2f GiB, adapters %.3f GiB, optimizer %.3f GiB",
+            gb(base), gb(trainable), gb(opt_state),
+        )
     else:
         trainable = base
         if args.dp * args.tp * args.pp > 1:

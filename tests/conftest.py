@@ -19,6 +19,16 @@ Recommended runners:
 
         PYTHONPATH= python -m pytest tests/ -m fast -q
 
+  * **Chip gate (~10 min on the tunneled v5e)** — the bounded on-hardware
+    subset: compiled Pallas fwd/bwd/int8/qk-prep kernel parity, one real
+    train step, one sampler segment. Run this (PYTHONPATH as-is, so the axon
+    TPU plugin loads) before shipping any change that touches the compute
+    path — it is what catches TPU-only breakage that the CPU suite cannot
+    (the r3 lesson)::
+
+        python -m pytest tests/ -m chip -q
+
+    The same selection deselects to 0 (all skipped) on CPU.
   * With PYTHONPATH left as-is, non-mesh tests run on the real tunneled TPU
     chip (compile-dominated, ~30 min) — only useful to exercise the Pallas
     kernels, which skip on CPU.
@@ -30,6 +40,11 @@ import os
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "fast: pure-math/CPU test; `pytest -m fast` finishes in <60 s"
+    )
+    config.addinivalue_line(
+        "markers",
+        "chip: bounded on-TPU gate (compiled Pallas kernels + train step + "
+        "sampler segment); `pytest -m chip` on the default backend, ~10 min",
     )
 
 os.environ["JAX_PLATFORMS"] = "cpu"

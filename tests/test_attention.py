@@ -34,9 +34,12 @@ def _qkv(rng, b, h, sq, sk, d):
     )
 
 
-pytestmark = pytest.mark.skipif(
-    not supports_flash(None, None, None, None), reason="no TPU backend"
-)
+pytestmark = [
+    pytest.mark.chip,  # part of the bounded on-TPU gate (`pytest -m chip`)
+    pytest.mark.skipif(
+        not supports_flash(None, None, None, None), reason="no TPU backend"
+    ),
+]
 
 
 @pytest.mark.parametrize("stable", [True, False])

@@ -131,9 +131,14 @@ def test_bwd_fully_masked_row(rng):
 # chip tier: jax.grad through the full attention() dispatch
 # ---------------------------------------------------------------------------
 
-chip = pytest.mark.skipif(
-    not supports_flash(None, None, None, None), reason="no TPU backend"
-)
+def chip(fn):
+    """Chip-tier test: part of the bounded on-TPU gate (`pytest -m chip`),
+    skipped without a TPU backend."""
+    return pytest.mark.chip(
+        pytest.mark.skipif(
+            not supports_flash(None, None, None, None), reason="no TPU backend"
+        )(fn)
+    )
 
 
 def _grad_vs_xla(q, k, v, atol, loss_w=None, **kw):

@@ -105,12 +105,97 @@ def test_mean_centering_is_softmax_exact():
 
 def test_rejects_unsupported_shapes():
     rng = np.random.RandomState(4)
-    q, k, v = _dit_like_qkv(rng, 1, 1, 128, 128)
-    with pytest.raises(ValueError, match="head_dim"):
-        flash_attention_int8(q, k, v, 128**-0.5, interpret=True)
     q2, k2, v2 = _dit_like_qkv(rng, 1, 1, 128, 64)
     with pytest.raises(ValueError, match="self-attention"):
         flash_attention_int8(q2, k2[:, :, :64], v2[:, :, :64], 64**-0.5, interpret=True)
+
+
+# --- head_dim % 128 == 0 (Wan/Hunyuan D=128): the non-fused denominator path
+
+
+@pytest.mark.parametrize("pv", [False, True])
+def test_kernel_d128_matches_quantized_reference(pv):
+    rng = np.random.RandomState(8)
+    q, k, v = _dit_like_qkv(rng, 1, 2, 256, 128)
+    scale = 128**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=128, block_k=128,
+                               pv_int8=pv, interpret=True)
+    if pv:
+        ref = _quantized_reference_pv(q, k, v, scale, 128, 128)
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        assert err.mean() < 1e-5, err.mean()
+        assert err.max() < 2e-3, err.max()
+    else:
+        ref = _quantized_reference(q, k, v, scale, 128, 128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("pv", [False, True])
+def test_kernel_d128_drift_vs_exact_bounded(pv):
+    rng = np.random.RandomState(9)
+    q, k, v = _dit_like_qkv(rng, 2, 2, 512, 128)
+    scale = 128**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=256, block_k=256,
+                               pv_int8=pv, interpret=True)
+    exact = _xla_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out) - np.asarray(exact))
+    ref_rms = float(np.sqrt((np.asarray(exact) ** 2).mean()))
+    # measured on this distribution: mean/rms ≈ 5e-3 (qk) / 8e-3 (pv), max/rms
+    # ≈ 0.11 (qk) / 0.245 (pv) — D=128 softmax rows are spikier than D=64
+    # (logit std grows with sqrt(d)), so per-tile P codes are coarser; guards
+    # at ~1.2-1.5x measured
+    assert err.mean() / ref_rms < (3e-2 if pv else 2e-2), (err.mean(), ref_rms)
+    assert err.max() / ref_rms < (3e-1 if pv else 1.5e-1), (err.max(), ref_rms)
+
+
+@pytest.mark.parametrize("d", [64, 128])
+@pytest.mark.parametrize("pv", [False, True])
+def test_kv_len_masks_keys(d, pv):
+    """Per-batch kv_len (Hunyuan's joint sequence): keys >= kv_len[b] must be
+    excluded, including their REAL (non-zero) V rows — drift vs exact masked
+    attention stays at the int8 level, and a poisoned masked tail moves the
+    output only within quantization noise (the tail still enters the K-block
+    scales/mean, so bitwise invariance is not expected)."""
+    rng = np.random.RandomState(11)
+    s = 256
+    kv_len = jnp.asarray([183, 256], jnp.int32)
+    q, k, v = _dit_like_qkv(rng, 2, 2, s, d)
+    scale = d**-0.5
+    out = flash_attention_int8(q, k, v, scale, block_q=128, block_k=128,
+                               pv_int8=pv, kv_len=kv_len, interpret=True)
+    exact = _xla_attention(q, k, v, scale, kv_len=kv_len)
+    # compare only rows < kv_len (the kernel leaves masked-query rows
+    # attending to valid keys; downstream crops them — bf16 kernel semantics)
+    mask = (np.arange(s)[None, :] < np.asarray(kv_len)[:, None])[:, None, :, None]
+    err = np.abs(np.asarray(out) - np.asarray(exact)) * mask
+    ref_rms = float(np.sqrt((np.asarray(exact) ** 2 * mask).sum() / mask.sum() / d / 2))
+    assert err.mean() / ref_rms < 5e-2, (err.mean(), ref_rms)
+
+    # poisoned tail: huge garbage K/V past kv_len must not blow up the output
+    k2 = k.at[:, :, 183:].set(jnp.asarray(5.0 * rng.randn(2, 2, s - 183, d), jnp.float32))
+    v2 = v.at[:, :, 183:].set(jnp.asarray(5.0 * rng.randn(2, 2, s - 183, d), jnp.float32))
+    out2 = flash_attention_int8(q, k2, v2, scale, block_q=128, block_k=128,
+                                pv_int8=pv, kv_len=jnp.asarray([183, 183], jnp.int32),
+                                interpret=True)
+    exact2 = _xla_attention(q, k, v, scale, kv_len=jnp.asarray([183, 183], jnp.int32))
+    m2 = (np.arange(s)[None, :] < 183)[:, None, :, None] * np.ones((2, 1, 1, 1))
+    err2 = np.abs(np.asarray(out2) - np.asarray(exact2)) * m2
+    assert err2.max() < 2e-1, err2.max()
+
+
+@pytest.mark.parametrize("pv", [False, True])
+def test_kernel_d128_pads_ragged_sequence(pv):
+    """Padded keys at D=128 are masked explicitly (no ones column to gate
+    them) — padding must not leak into numerator or denominator."""
+    rng = np.random.RandomState(10)
+    s = 200
+    q, k, v = _dit_like_qkv(rng, 1, 1, s, 128)
+    scale = 128**-0.5
+    out = flash_attention_int8(q, k, v, scale, pv_int8=pv, interpret=True)
+    assert out.shape == (1, 1, s, 128)
+    exact = _xla_attention(q, k, v, scale)
+    err = np.abs(np.asarray(out) - np.asarray(exact))
+    assert err.mean() < 8e-3 and err.max() < 8e-2
 
 
 def _quantized_reference_pv(q, k, v, scale, block_q, block_k):
@@ -128,7 +213,7 @@ def _quantized_reference_pv(q, k, v, scale, block_q, block_k):
     sk = jnp.repeat(sk_blk.reshape(b, h, -1), block_k, axis=2)
     p = jnp.exp2(logits_int.astype(jnp.float32) * sq[..., :, None] * sk[..., None, :])
 
-    d_aug = -(-(d + 1) // 128) * 128
+    d_aug = -(-(d + 1) // 128) * 128 if d % 128 else d
     v_int, sv = quantize_v_int8(v.reshape(b * h, s, d), d_aug)
     v_int = v_int.reshape(b, h, s, d_aug).astype(jnp.int32)
     sv = sv.reshape(b, h, d_aug)
@@ -140,7 +225,12 @@ def _quantized_reference_pv(q, k, v, scale, block_q, block_k):
     acc32 = jnp.einsum("bhqnk,bhnkD->bhqnD", pi,
                        v_int.reshape(b, h, nk, block_k, d_aug).astype(jnp.float32))
     acc = jnp.sum(acc32 * (srow * (1.0 / 127.0)), axis=3) * sv[:, :, None, :]
-    return acc[..., :d] / acc[..., d:d + 1]
+    if d_aug > d:
+        return acc[..., :d] / acc[..., d:d + 1]
+    # D % 128 == 0: the denominator comes from the same quantized-P codes,
+    # accumulated separately (the kernel's l scratch)
+    denom = jnp.sum(pi * (srow * (1.0 / 127.0)), axis=(3, 4))
+    return acc / denom[..., None]
 
 
 @pytest.mark.parametrize("s,bq,bk", [(256, 128, 128), (384, 128, 384)])

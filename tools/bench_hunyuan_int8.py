@@ -53,6 +53,17 @@ def main():
     from alg_tpu.schedulers import FlowMatchEulerConfig, make_flow_match_euler_plan
 
     tcfg = HunyuanVideoTransformerConfig()  # 13B-class: 20 double + 40 single, 24x128
+    attn_mode = None
+    if "--int8-attn-full" in sys.argv:
+        attn_mode = "full"
+    elif "--int8-attn" in sys.argv:
+        attn_mode = "qk"
+    if attn_mode:
+        # D=128 int8 attention (non-fused denominator + kv_len masking,
+        # ops/flash_attention_int8.py) on the 28,132-token joint sequence
+        from alg_tpu.ops.attention import set_attention_int8
+
+        set_attention_int8(attn_mode)
     print("streaming int8 weights (13B-class tree)...", flush=True)
     # modulation=True: Hunyuan's AdaLN projection stacks are 6.5 GB bf16 —
     # quantizing them (FLOPs negligible, error on par with bf16 rounding) is
@@ -129,11 +140,13 @@ def main():
     sync(out)
     dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
 
+    suffix = {"qk": "_int8attn", "full": "_int8attn_pv", None: ""}[attn_mode]
+    mode = {"qk": " + int8 QK^T attn", "full": " + int8 QK^T+PV attn", None: ""}[attn_mode]
     print(json.dumps({
-        "metric": "hunyuan13b_denoise_steps_per_sec_per_chip_int8",
+        "metric": "hunyuan13b_denoise_steps_per_sec_per_chip_int8" + suffix,
         "value": round(STEPS / dt, 4),
         "unit": "steps/s (129f@352x608 360p bucket, 50-step shipped ALG config, "
-                "int8 W8A8, distilled guidance single-pass, shipped sampler)",
+                f"int8 W8A8{mode}, distilled guidance single-pass, shipped sampler)",
         "sec_per_step": round(dt / STEPS, 3),
         "scan_chunk": int(os.environ["ALG_TPU_SCAN_CHUNK"]),
     }), flush=True)

@@ -50,6 +50,17 @@ def main():
     from alg_tpu.schedulers import UniPCConfig, make_unipc_plan
 
     tcfg = WanTransformerConfig()  # 14B: 40 layers, 40x128, ffn 13824
+    attn_mode = None
+    if "--int8-attn-full" in sys.argv:
+        attn_mode = "full"
+    elif "--int8-attn" in sys.argv:
+        attn_mode = "qk"
+    if attn_mode:
+        # D=128 int8 attention (non-fused denominator path,
+        # ops/flash_attention_int8.py) on the 32,760-token self-attention
+        from alg_tpu.ops.attention import set_attention_int8
+
+        set_attention_int8(attn_mode)
     print("quantizing + streaming W4A8 weights (14B tree -> ~9 GB)...", flush=True)
     params = device_init_quantized_params(
         lambda: init_wan_transformer(jax.random.PRNGKey(0), tcfg, dtype=jnp.bfloat16),
@@ -124,11 +135,13 @@ def main():
     sync(out)
     dt = max(time.perf_counter() - t0 - t_fetch, 1e-9)
 
+    suffix = {"qk": "_int8attn", "full": "_int8attn_pv", None: ""}[attn_mode]
+    mode = {"qk": " + int8 QK^T attn", "full": " + int8 QK^T+PV attn", None: ""}[attn_mode]
     print(json.dumps({
-        "metric": "wan14b_denoise_steps_per_sec_per_chip_w4a8",
+        "metric": "wan14b_denoise_steps_per_sec_per_chip_w4a8" + suffix,
         "value": round(STEPS / dt, 4),
         "unit": "steps/s (81f@480x832, 50-step shipped ALG CFG config, W4A8 "
-                "int4-weight/int8-MXU, shipped sampler)",
+                f"int4-weight/int8-MXU{mode}, shipped sampler)",
         "sec_per_step": round(dt / STEPS, 3),
         "scan_chunk": int(os.environ["ALG_TPU_SCAN_CHUNK"]),
     }), flush=True)
