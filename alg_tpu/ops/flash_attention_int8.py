@@ -110,7 +110,7 @@ def _kernel(
     sq_ref,  # [BH·nq] f32 scalar-prefetch: folded q-block scales
     sk_ref,  # [BH·nk] f32 scalar-prefetch: k-block scales
     *refs,  # (kvl_ref [BH] i32 when has_kvl,) q_ref, k_ref, v_ref,
-    #         (sv_ref [1, d_aug] f32 when pv_int8,) o_ref, acc_scr
+    #         (sv_ref [1, 1, d_aug] f32 when pv_int8,) o_ref, acc_scr
     #         (, l_scr when not fused)
     d: int,
     d_aug: int,
@@ -149,9 +149,14 @@ def _kernel(
         if l_scr is not None:
             l_scr[:] = jnp.zeros_like(l_scr)
 
+    # int8 MXU pass. precision is pinned to DEFAULT: integer dots have no
+    # "highest"-precision multi-pass form, and Mosaic rejects the global
+    # jax_default_matmul_precision="highest" (test conftest) with
+    # "Bad lhs type" if it is allowed to apply here
     s32 = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )  # [bq, bk] int8 MXU pass
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32, precision=jax.lax.Precision.DEFAULT,
+    )  # [bq, bk]
     sc = sq_ref[bh * nq + qi] * sk_ref[bh * nk + ki]
     # bounded-logit fast path (same argument as the bf16 kernel): dequantized
     # logits match the true ones to ~1%, so |logit·log2e| stays ≪ 120 and the
@@ -185,7 +190,8 @@ def _kernel(
         srow = jnp.maximum(jnp.max(p, axis=1, keepdims=True), 1e-37)  # [bq, 1]
         pi = jnp.round(p * (127.0 / srow)).astype(jnp.int8)
         acc32 = jax.lax.dot_general(
-            pi, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            pi, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32, precision=jax.lax.Precision.DEFAULT,
         )
         acc_scr[:] += acc32.astype(jnp.float32) * (srow * (1.0 / 127.0)) * sv_ref[0]
         if not fused:
@@ -301,10 +307,15 @@ def flash_attention_int8(
     ]
     if pv_int8:
         v_int, sv = quantize_v_int8(vp, d_aug)
-        inputs = (*scalars, q_int, k_int, v_int, sv)
+        # sv rides as [BH, 1, d_aug] with a (1, 1, d_aug) block: compiled
+        # Mosaic requires the trailing block dims to equal the array dims (a
+        # 2D (1, d_aug) block over [BH, d_aug] is sublane-misaligned — the
+        # interpret mode the CPU tests use tolerated it; the chip gate does
+        # not)
+        inputs = (*scalars, q_int, k_int, v_int, sv[:, None, :])
         in_specs += [
             pl.BlockSpec((1, block_k, d_aug), lambda bh, qi, ki, *_: (bh, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_aug), lambda bh, qi, ki, *_: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_aug), lambda bh, qi, ki, *_: (bh, 0, 0), memory_space=pltpu.VMEM),
         ]
         v_bytes = v_int.size + sv.size * 4
     else:

@@ -32,6 +32,7 @@ reference repo publishes no numbers, BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -40,7 +41,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+# ALG_TPU_CACHE_DIR override: lets a cold-start measurement point at a fresh
+# directory without touching (or benefiting from) the warm persistent cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ALG_TPU_CACHE_DIR", "/root/.cache/jax_tpu_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_STEPS_PER_SEC = 0.185  # ≈270s / 50 steps, CogVideoX-5b-I2V bf16 on A100
