@@ -217,20 +217,22 @@ def _fwd_kernel(
             row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             s = jnp.where(col <= row + (sk_orig - sq_orig), s, _NEG_INF)
 
-        def masked(s):
-            col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            if use_kv_len:
-                b = bh // num_heads
-                return jnp.where(col < kv_len_ref[b], s, _NEG_INF)
-            return jnp.where(col < sk_orig, s, _NEG_INF)
-
+        # invalid-key masking is UNCONDITIONAL: a `jax.lax.cond` with a
+        # vector-valued branch lowers catastrophically in Mosaic — the branch
+        # value materializes through VMEM and serializes the tile pipeline
+        # (measured 2x on the whole kernel: 184 -> 94 TFLOP/s at the Hunyuan
+        # D=128 shape, r5). The iota+where pair is VPU work that fully
+        # overlaps the MXU passes (same as the causal mask above and the int8
+        # kernel), so masking every tile costs ~nothing.
         if use_kv_len:
             b = bh // num_heads
-            s = jax.lax.cond(k_start + block_k > kv_len_ref[b], masked, lambda s: s, s)
+            col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col < kv_len_ref[b], s, _NEG_INF)
         elif not fused and sk_orig != sk:
             # non-fused path: padded keys contribute p = exp2(s_masked) to the
-            # VPU denominator, so the tail block must be masked
-            s = jax.lax.cond(ki == nk - 1, masked, lambda s: s, s)
+            # VPU denominator, so the padded tail must be masked
+            col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col < sk_orig, s, _NEG_INF)
         # fused path needs NO padding mask: the in-kernel ones column is zero
         # on padded key rows, so they add 0 to both acc and denominator
         # (padded V rows are zero, so the numerator is safe either way)
