@@ -374,14 +374,21 @@ class WanPipeline:
         from alg_tpu.models.vae_tiling import auto_tile_encode, tiled_encode
 
         x = video_bfchw.transpose(0, 1, 3, 4, 2).astype(self._vae_dtype())  # BFHWC
+        if getattr(self, "_enc_jit", None) is None:
+            self._enc_jit = jax.jit(
+                lambda params, xt: wan_vae_encode(params, self.vae_cfg, xt)[0]
+            )
         if auto_tile_encode(x.shape[1], x.shape[2], x.shape[3], self.vae_encode_tiling):
+            # each tile is its OWN jitted program, dispatched from the host
+            # loop in tiled_encode: tracing the whole tile grid into one
+            # program makes XLA hold every tile's encoder activations
+            # concurrently (measured 49 GB at the 81f@480x832 condition —
+            # r5 e2e bench finding); per-tile dispatch peaks at one tile
             mean = tiled_encode(
-                lambda xt: wan_vae_encode(vae_params, self.vae_cfg, xt)[0],
-                x,
-                self.vae_cfg.spatial_scale,
+                lambda xt: self._enc_jit(vae_params, xt), x, self.vae_cfg.spatial_scale
             )
         else:
-            mean, _ = wan_vae_encode(vae_params, self.vae_cfg, x)
+            mean = self._enc_jit(vae_params, x)
         z = mean.astype(jnp.float32).transpose(0, 4, 1, 2, 3)  # [B, z, F', h, w]
         lm = jnp.asarray(self.vae_cfg.latents_mean, jnp.float32).reshape(1, -1, 1, 1, 1)
         ls = jnp.asarray(self.vae_cfg.latents_std, jnp.float32).reshape(1, -1, 1, 1, 1)
@@ -401,8 +408,10 @@ class WanPipeline:
             )[:, None]
             zeros = jnp.zeros((img.shape[0], num_frames - 2) + img.shape[2:], jnp.float32)
             video = jnp.concatenate([img, zeros, last], axis=1)
-        fn = jax.jit(lambda params, v: self._encode_video_condition_p(params, v))
-        latent_cond = fn(self.vae_params, video)
+        # NOT wrapped in an outer jit: the tiled branch of
+        # _encode_video_condition_p must dispatch per-tile programs (see its
+        # comment); the per-call jits inside cover the compute
+        latent_cond = self._encode_video_condition_p(self.vae_params, video)
         if latent_cond.shape[0] < batch_size:
             latent_cond = jnp.repeat(latent_cond, batch_size, axis=0)
         f_lat, h_lat, w_lat = latent_cond.shape[2:]

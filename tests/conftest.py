@@ -19,7 +19,7 @@ Recommended runners:
 
         PYTHONPATH= python -m pytest tests/ -m fast -q
 
-  * **Chip gate (~10 min on the tunneled v5e)** — the bounded on-hardware
+  * **Chip gate (~12 min on the tunneled v5e)** — the bounded on-hardware
     subset: compiled Pallas fwd/bwd/int8/qk-prep kernel parity, one real
     train step, one sampler segment. Run this (PYTHONPATH as-is, so the axon
     TPU plugin loads) before shipping any change that touches the compute
@@ -44,7 +44,7 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "chip: bounded on-TPU gate (compiled Pallas kernels + train step + "
-        "sampler segment); `pytest -m chip` on the default backend, ~10 min",
+        "sampler segment); `pytest -m chip` on the default backend, ~12 min",
     )
 
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -96,8 +96,11 @@ def main():
 
         vcfg = HunyuanVAEConfig()
         print("streaming Hunyuan VAE weights...", flush=True)
+        # bf16 storage = the shipped config's dtype (reference runs the
+        # Hunyuan VAE fp16, run.py:71-86); fp32 tile decode at 129 frames
+        # measures 17.0 GB > HBM (r5), bf16 halves the activations
         vae_params = host_init_params(
-            lambda: init_hunyuan_vae(jax.random.PRNGKey(0), vcfg, dtype=jnp.float32)
+            lambda: init_hunyuan_vae(jax.random.PRNGKey(0), vcfg, dtype=jnp.bfloat16)
         )
         pipe = HunyuanVideoPipeline(
             transformer_cfg=None, transformer_params=None,
