@@ -407,3 +407,40 @@ def test_wan_cache_interval(wan_pipe):
     assert not np.allclose(exact, cached)
     obs = wan_pipe(cache_interval=2, step_observer=lambda i, lat: None, **kwargs)
     np.testing.assert_allclose(np.asarray(obs), np.asarray(cached), atol=1e-5)
+
+
+def test_condition_tiled_encode_dispatches_per_tile(wan_pipe):
+    """r5 OOM regression guard: _build_condition must NOT trace the spatial
+    tile loop into one program — inside a single jit XLA holds every tile's
+    encoder activations concurrently (measured 49 GB at the shipped
+    81f@480x832 Wan condition). Each tile call must execute eagerly, i.e.
+    the per-tile encode sees CONCRETE arrays and returns concrete arrays."""
+    import alg_tpu.models.vae_tiling as vt
+
+    wan_pipe.vae_encode_tiling = True  # force the tiled branch at tiny scale
+    wan_pipe._enc_jit = None  # rebuild (fixture may be shared)
+    seen = []
+    real_tiled_encode = vt.tiled_encode
+
+    def spy(encode_fn, x, spatial_scale, **kw):
+        def probe(xt):
+            out = encode_fn(xt)
+            seen.append((type(xt), type(out)))
+            assert not isinstance(xt, jax.core.Tracer), "tile input is traced"
+            assert not isinstance(out, jax.core.Tracer), "tile output is traced"
+            return out
+
+        return real_tiled_encode(probe, x, spatial_scale, **kw)
+
+    vt.tiled_encode, orig = spy, vt.tiled_encode
+    try:
+        cond = wan_pipe._build_condition(
+            np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32),
+            1, 9, 64, 64, None,
+        )
+    finally:
+        vt.tiled_encode = orig
+        wan_pipe.vae_encode_tiling = None
+        wan_pipe._enc_jit = None
+    assert seen, "tiled branch did not run"
+    assert cond.shape[1] == 8  # 4 mask + 4 latent channels
