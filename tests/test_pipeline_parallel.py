@@ -16,6 +16,13 @@ from alg_tpu.ops.attention import set_attention_impl
 
 
 def _cpu_devices(n):
+    if jax.default_backend() != "cpu":
+        # the pp shard_map graphs lower against the CPU mesh while closures
+        # trace on the default (axon/TPU) backend — jax's mixed-backend
+        # lowering cache KeyErrors ('closed_call'). These tests are the CPU
+        # runner's job (PYTHONPATH= python -m pytest …); the TPU equivalent
+        # is the driver's dryrun_multichip train leg.
+        pytest.skip("CPU-mesh pp tests need a cpu default backend")
     cpus = jax.local_devices(backend="cpu")
     if len(cpus) < n:
         pytest.skip(f"need {n} cpu devices, have {len(cpus)}")
