@@ -33,16 +33,22 @@ STEPS = 50
 
 FAMILIES = {
     # weight family -> list of (cache_interval, int8_attn, metric suffix, mode label)
+    # int8_attn: False | "qk" | "full" (set_attention_int8). "full" (int8 P·V)
+    # is deliberately absent from the recommended ladders: measured as a net
+    # LOSS at every tried geometry (docs/PERF.md r5 — serial P-quantize on the
+    # critical path); run it explicitly via bench.py --int8-attn-full if
+    # re-testing on new hardware.
     "cache": [
         (2, False, "_cache2", "bf16 + step-cache k=2"),
         (4, False, "_cache4", "bf16 + step-cache k=4"),
     ],
     "int8": [
         (1, False, "_int8", "int8 W8A8"),
-        (1, True, "_int8full", "int8 W8A8 + int8 QK^T attn"),
+        (1, "qk", "_int8full", "int8 W8A8 + int8 QK^T attn"),
     ],
     "w4": [
         (1, False, "_w4a8", "W4A8 int4-weight/int8-MXU"),
+        (1, "qk", "_w4a8_int8attn", "W4A8 + int8 QK^T attn"),
     ],
 }
 
